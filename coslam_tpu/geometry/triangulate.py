@@ -1,0 +1,130 @@
+"""Triangulation: two-view / multi-view DLT, covariances, sequential refine.
+
+Replaces LibVisualSLAM geometry/SL_Triangulate.h (``binTriangulate``,
+``triangulateMultiView``, ``seqTriangulate``, ``getTriangulateCovMat``,
+``isAtCameraBack``, ``reprojErrorSingle`` — call sites e.g.
+SL_SingleSLAM.cpp:950,1047, SL_CoSLAM.cpp:651-661, SL_CoSLAMHelper.cpp).
+
+Design: everything is batched over a leading point axis with a per-view
+validity mask, so a single call triangulates thousands of candidate points
+across up to ``max_cameras`` views — the per-point work is tiny 3x3/4x4
+dense algebra that XLA fuses well. DLT is solved via the smallest
+eigenvector of the 4x4 normal matrix A^T A (batched eigh), avoiding
+batched SVD of tall matrices.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from coslam_tpu.geometry.camera import projection_jacobian
+
+
+def _dlt_rows(R: jnp.ndarray, t: jnp.ndarray, xn: jnp.ndarray) -> jnp.ndarray:
+    """Two DLT rows per view from normalized coords.
+
+    P = [R | t] (3x4); rows: x*P3 - P1, y*P3 - P2.  Returns [..., 2, 4].
+    """
+    P = jnp.concatenate([R, t[..., :, None]], axis=-1)  # [..., 3, 4]
+    x = xn[..., 0:1, None]
+    y = xn[..., 1:2, None]
+    r1 = x * P[..., 2:3, :] - P[..., 0:1, :]
+    r2 = y * P[..., 2:3, :] - P[..., 1:2, :]
+    return jnp.concatenate([r1, r2], axis=-2)
+
+
+def triangulate_multiview(Rs: jnp.ndarray, ts: jnp.ndarray, xns: jnp.ndarray,
+                          mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked multi-view DLT.
+
+    Rs: [..., V, 3, 3], ts: [..., V, 3], xns: [..., V, 2] normalized coords,
+    mask: [..., V] bool. Returns X: [..., 3]. Invalid views contribute zero
+    rows. With <2 valid views the result is meaningless — callers gate on
+    ``mask.sum(-1) >= 2``.
+    """
+    rows = _dlt_rows(Rs, ts, xns)  # [..., V, 2, 4]
+    rows = rows * mask[..., None, None].astype(rows.dtype)
+    A = rows.reshape(*rows.shape[:-3], -1, 4)  # [..., 2V, 4]
+    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
+    # smallest eigenvector of symmetric 4x4
+    w, V = jnp.linalg.eigh(AtA)
+    h = V[..., :, 0]
+    wh = h[..., 3]
+    wh = jnp.where(jnp.abs(wh) < 1e-12, jnp.sign(wh) * 1e-12 + 1e-15, wh)
+    return h[..., :3] / wh[..., None]
+
+
+def triangulate_two_view(R1, t1, R2, t2, xn1, xn2) -> jnp.ndarray:
+    """binTriangulate equivalent. All args broadcast; xn* are [..., 2]."""
+    Rs = jnp.stack([jnp.broadcast_to(R1, xn1.shape[:-1] + (3, 3)),
+                    jnp.broadcast_to(R2, xn2.shape[:-1] + (3, 3))], axis=-3)
+    ts = jnp.stack([jnp.broadcast_to(t1, xn1.shape[:-1] + (3,)),
+                    jnp.broadcast_to(t2, xn2.shape[:-1] + (3,))], axis=-2)
+    xns = jnp.stack([xn1, xn2], axis=-2)
+    mask = jnp.ones(xns.shape[:-1], dtype=bool)
+    return triangulate_multiview(Rs, ts, xns, mask)
+
+
+def reproj_errors(K, R, t, X, px) -> jnp.ndarray:
+    """Euclidean reprojection error in pixels (reprojErrorSingle)."""
+    from coslam_tpu.geometry.camera import project_points
+    pr = project_points(K, R, t, X)
+    return jnp.linalg.norm(pr - px, axis=-1)
+
+
+def is_at_camera_back(R, t, X) -> jnp.ndarray:
+    """True where the point has non-positive depth in the camera."""
+    z = jnp.einsum("...j,...j->...", R[..., 2, :], X) + t[..., 2]
+    return z <= 0.0
+
+
+def triangulation_cov(Ks, Rs, ts, X, mask, pixel_var: float = 1.0) -> jnp.ndarray:
+    """getTriangulateCovMat equivalent: 3x3 covariance of the triangulated
+    point from first-order propagation of iid pixel noise.
+
+    Ks: [..., V, 3, 3], Rs: [..., V, 3, 3], ts: [..., V, 3], X: [..., 3],
+    mask: [..., V].  cov = pixel_var * (sum_v J_v^T J_v)^{-1}.
+    """
+    J = projection_jacobian(Ks, Rs, ts, X[..., None, :])  # [..., V, 2, 3]
+    J = J * mask[..., None, None].astype(J.dtype)
+    H = jnp.einsum("...vki,...vkj->...ij", J, J)  # [..., 3, 3]
+    H = H + 1e-9 * jnp.eye(3, dtype=H.dtype)
+    return pixel_var * jnp.linalg.inv(H)
+
+
+def seq_triangulate_update(K, R, t, px_undist, X, cov,
+                           pixel_var: float = 1.0,
+                           gate_maha2: float | None = None):
+    """Sequential (information-filter) refinement of a map point with one new
+    observation — the seqTriangulate role in poseUpdate3D
+    (SL_SingleSLAM.cpp:600-753): fold the current frame's measurement into
+    (X, cov) with a single Gauss-Newton/Kalman step.
+
+    Returns (X_new, cov_new, maha2) where maha2 is the innovation's squared
+    Mahalanobis distance (for the caller's outlier gate). If gate_maha2 is
+    given, updates are suppressed (X, cov passed through) where
+    maha2 > gate_maha2.
+    """
+    from coslam_tpu.geometry.camera import project_points, mahalanobis2_2d
+    pred = project_points(K, R, t, X)
+    r = px_undist - pred                               # innovation [..., 2]
+    J = projection_jacobian(K, R, t, X)                # [..., 2, 3]
+    S = J @ cov @ jnp.swapaxes(J, -1, -2) + pixel_var * jnp.eye(2, dtype=X.dtype)
+    maha2 = mahalanobis2_2d(r, S)
+    # Kalman gain: cov J^T S^{-1}
+    a, b, c = S[..., 0, 0], S[..., 0, 1], S[..., 1, 1]
+    det = a * c - b * b
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    Sinv = jnp.stack([
+        jnp.stack([c / det, -b / det], axis=-1),
+        jnp.stack([-b / det, a / det], axis=-1),
+    ], axis=-2)
+    Kg = cov @ jnp.swapaxes(J, -1, -2) @ Sinv          # [..., 3, 2]
+    X_new = X + jnp.einsum("...ij,...j->...i", Kg, r)
+    cov_new = (jnp.eye(3, dtype=X.dtype) - Kg @ J) @ cov
+    if gate_maha2 is not None:
+        ok = (maha2 <= gate_maha2)[..., None]
+        X_new = jnp.where(ok, X_new, X)
+        cov_new = jnp.where(ok[..., None], cov_new, cov)
+    return X_new, cov_new, maha2
