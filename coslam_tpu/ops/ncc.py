@@ -1,0 +1,46 @@
+"""NCC appearance blocks and dense score matrices.
+
+Replaces ``NCCBlock`` (11x11 patch with precomputed sums for O(1) NCC,
+SL_NCCBlock.h:15-61) and the pairwise NCC matrices built for guided
+matching (SL_FeatureMatching.h getEpiNccMat, greedyGuidedNCCMatch).
+
+TPU-first: blocks are stored pre-normalized (zero mean, unit norm), so a
+whole A x B score matrix is one matmul on the MXU — the reference's
+O(|A||B|) CPU double loop becomes the cheapest op in the pipeline.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from coslam_tpu.ops.patches import extract_patches
+
+NCC_INVALID = -2.0
+
+
+def extract_ncc_blocks(img: jnp.ndarray, pos: jnp.ndarray, radius: int = 5):
+    """img: [H, W]; pos: [N, 2]. Returns (blocks [N, (2r+1)^2] normalized,
+    valid [N]). Invalid blocks are zeroed (contribute NCC 0)."""
+    raw, ok = extract_patches(img, pos, radius)
+    mean = jnp.mean(raw, axis=-1, keepdims=True)
+    cen = raw - mean
+    norm = jnp.linalg.norm(cen, axis=-1, keepdims=True)
+    blocks = cen / jnp.maximum(norm, 1e-6)
+    ok = ok & (norm[..., 0] > 1e-3)   # reject textureless patches
+    blocks = jnp.where(ok[..., None], blocks, 0.0)
+    return blocks, ok
+
+
+def ncc_score_matrix(blocks_a: jnp.ndarray, blocks_b: jnp.ndarray,
+                     valid_a: jnp.ndarray, valid_b: jnp.ndarray) -> jnp.ndarray:
+    """[A, P] x [B, P] -> [A, B] NCC scores; invalid rows/cols = NCC_INVALID."""
+    s = jnp.dot(blocks_a, blocks_b.T, preferred_element_type=jnp.float32)
+    bad = ~(valid_a[:, None] & valid_b[None, :])
+    return jnp.where(bad, NCC_INVALID, s)
+
+
+def ncc_pairwise(blocks_a: jnp.ndarray, blocks_b: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise NCC between aligned block sets [N, P] -> [N]
+    (matchNCCBlock equivalent for tracking a known point)."""
+    return jnp.sum(blocks_a * blocks_b, axis=-1)

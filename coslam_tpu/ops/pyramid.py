@@ -1,0 +1,46 @@
+"""Gaussian image pyramid with per-level x/y derivatives.
+
+TPU-native equivalent of ``PyramidWithDerivativesCreator``
+(reference: v3d_gpupyramid.h:38-75 + pyramid_with_derivative_pass*.cg):
+the reference builds, per level, a smoothed grayscale image plus its x/y
+derivatives packed as an RGB mipmap texture. Here each level is three
+[C, H_l, W_l] arrays produced by separable XLA convolutions over the
+batched camera axis — the whole pyramid build is a handful of fused
+conv ops per level.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from coslam_tpu.ops.image import gaussian_blur, sobel_derivatives, downsample2
+
+
+class Pyramid(NamedTuple):
+    """imgs/dxs/dys: tuples (len = n_levels) of [C, H/2^l, W/2^l] arrays."""
+
+    imgs: tuple
+    dxs: tuple
+    dys: tuple
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.imgs)
+
+
+def build_pyramid(img: jnp.ndarray, n_levels: int) -> Pyramid:
+    """img: [C, H, W] f32 grayscale (0..255 scale). Returns n_levels levels;
+    level 0 is the blurred full-res image."""
+    imgs, dxs, dys = [], [], []
+    cur = img
+    for lvl in range(n_levels):
+        sm = gaussian_blur(cur)
+        dx, dy = sobel_derivatives(sm)
+        imgs.append(sm)
+        dxs.append(dx)
+        dys.append(dy)
+        if lvl + 1 < n_levels:
+            cur = downsample2(sm)
+    return Pyramid(imgs=tuple(imgs), dxs=tuple(dxs), dys=tuple(dys))
