@@ -1,0 +1,72 @@
+"""Benchmark: tracked frames/s/chip for the fused per-frame SLAM step.
+
+Workload (production-shaped): 3 cameras x 480x640 x 1024 KLT features,
+full fused step (pyramids, coarse-to-fine KLT with gain, corner redetect,
+IRLS pose, Mahalanobis gating, sequential point refinement, new-point
+triangulation) as one jitted device call — the hot path of BASELINE.json
+config 3.
+
+Baseline derivation (BASELINE.md: the reference records NO numbers): the
+reference's own GPU-KLT demo targeted real-time VGA tracking (~30 fps,
+test_klt_for_video.cpp timing hooks) and README.md:107 states overall speed
+"decreases significantly" with camera count; per-frame CPU stages (pose LM,
+classification, NCC matrices) dominate beyond tracking. We take 15 fps as
+the generous analytic estimate for the full 3-camera pipeline on the
+reference's GPU/CPU and report vs_baseline = fps / 15. The >2x target of
+BASELINE.md therefore means vs_baseline >= 2.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from coslam_tpu.config import SlamConfig, KLTConfig, CapacityConfig
+    from coslam_tpu.slam.state import init_state
+    from coslam_tpu.slam.fused import frame_step
+
+    C, H, W = 3, 480, 640
+    cfg = SlamConfig(
+        num_cameras=C, image_height=H, image_width=W,
+        klt=KLTConfig(n_levels=4),
+        cap=CapacityConfig(max_features=1024, max_map_points=8192,
+                           max_keyframes=64, ba_window=5))
+    state = init_state(cfg)
+    rng = np.random.default_rng(0)
+    # smooth random texture so KLT iterations behave like real video
+    from coslam_tpu.ops.image import gaussian_blur
+    base = jnp.asarray(rng.uniform(0, 255, (C, H, W)), jnp.float32)
+    imgs_prev = gaussian_blur(gaussian_blur(base))
+    imgs_cur = jnp.roll(imgs_prev, 2, axis=-1)
+    K = jnp.asarray(np.broadcast_to(
+        np.array([[500.0, 0, W / 2], [0, 500.0, H / 2], [0, 0, 1]],
+                 dtype=np.float32), (C, 3, 3)))
+    kc = jnp.zeros((C, 5), jnp.float32)
+
+    # warmup/compile
+    state, stats = frame_step(state, imgs_prev, imgs_cur, K, kc, cfg)
+    jax.block_until_ready(stats)
+    n_iters = 30
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, stats = frame_step(state, imgs_prev, imgs_cur, K, kc, cfg)
+    jax.block_until_ready(stats)
+    dt = time.perf_counter() - t0
+    fps = n_iters / dt
+    baseline_fps = 15.0
+    print(json.dumps({
+        "metric": "tracked_frames_per_s_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s (3 cams, 640x480, 1024 feats)",
+        "vs_baseline": round(fps / baseline_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,9 @@ class SlamParams:
     ba_cadence: int = 1              # run BA every k-th keyframe
     dyn_max_points: int = 60         # dynamic points in joint pose (InterCamPoseEstimator)
     reproj_new_point_gate: float = 3.0   # new-point acceptance reproj error (px)
+    new_point_min_parallax_deg: float = 1.0  # min ray angle for triangulation
+    init_frames: int = 10            # bootstrap tracking span (nInitFrm role)
+    bootstrap_depth: float = 10.0    # monocular scale anchor: median scene depth
 
 
 @dataclass(frozen=True)

@@ -66,6 +66,38 @@ def triangulate_two_view(R1, t1, R2, t2, xn1, xn2) -> jnp.ndarray:
     return triangulate_multiview(Rs, ts, xns, mask)
 
 
+def triangulate_two_view_midpoint(R1, t1, R2, t2, xn1, xn2):
+    """Closed-form midpoint triangulation (no eigh — cheap enough to run
+    for every candidate (track, history-view) pair when seeding new map
+    points). All args broadcast over leading axes; xn* are normalized
+    coords [..., 2].
+
+    Returns (X [..., 3], depth1 [...], depth2 [...], parallax_cos [...]).
+    depth* are signed ray parameters (positive = in front); parallax_cos
+    is the cosine of the ray angle (near 1 = degenerate baseline).
+    """
+    c1 = -jnp.einsum("...ji,...j->...i", R1, t1)
+    c2 = -jnp.einsum("...ji,...j->...i", R2, t2)
+    d1 = jnp.einsum("...ji,...j->...i", R1,
+                    jnp.concatenate([xn1, jnp.ones_like(xn1[..., :1])], axis=-1))
+    d2 = jnp.einsum("...ji,...j->...i", R2,
+                    jnp.concatenate([xn2, jnp.ones_like(xn2[..., :1])], axis=-1))
+    n1 = jnp.linalg.norm(d1, axis=-1, keepdims=True)
+    n2 = jnp.linalg.norm(d2, axis=-1, keepdims=True)
+    u1 = d1 / jnp.maximum(n1, 1e-12)
+    u2 = d2 / jnp.maximum(n2, 1e-12)
+    b = c2 - c1
+    d12 = jnp.einsum("...i,...i->...", u1, u2)
+    bd1 = jnp.einsum("...i,...i->...", b, u1)
+    bd2 = jnp.einsum("...i,...i->...", b, u2)
+    den = 1.0 - d12 * d12
+    den = jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+    s = (bd1 - d12 * bd2) / den        # along u1
+    r = (d12 * bd1 - bd2) / den        # along u2
+    X = 0.5 * (c1 + s[..., None] * u1 + c2 + r[..., None] * u2)
+    return X, s, r, d12
+
+
 def reproj_errors(K, R, t, X, px) -> jnp.ndarray:
     """Euclidean reprojection error in pixels (reprojErrorSingle)."""
     from coslam_tpu.geometry.camera import project_points

@@ -1,0 +1,58 @@
+"""Fused per-frame device step: the whole tracked-frame hot path as ONE
+jitted call.
+
+SURVEY.md §7 hard part #5: "keeping the per-frame step to one pjit-ed call
+is the performance crux". The reference crosses the GPU/CPU boundary many
+times per frame (shader passes + glReadPixels readbacks inside every
+featureTracking call, SURVEY.md §3.3); here pyramid building, KLT,
+redetection, pose IRLS, gating, sequential refinement, new-point
+triangulation and history bookkeeping all fuse into a single XLA program
+over the camera batch — the host only feeds frames and reads tiny stats.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from coslam_tpu.config import SlamConfig
+from coslam_tpu.ops import build_pyramid
+from coslam_tpu.slam import steps
+from coslam_tpu.slam.state import SlamState
+
+
+class FrameStats(NamedTuple):
+    n_inliers: jnp.ndarray   # [C]
+    coverage: jnp.ndarray    # [C]
+    med_depth: jnp.ndarray   # [C]
+    med_err: jnp.ndarray     # [C]
+    n_new_points: jnp.ndarray
+    n_tracked: jnp.ndarray   # [C]
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def frame_step(state: SlamState, imgs_prev: jnp.ndarray,
+               imgs_cur: jnp.ndarray, K: jnp.ndarray, kc: jnp.ndarray,
+               cfg: SlamConfig):
+    """One tracked frame: track -> pose -> refine -> map. Returns
+    (state', FrameStats). ``imgs_*``: [C, H, W] f32."""
+    pyr_prev = build_pyramid(imgs_prev, cfg.klt.n_levels)
+    pyr_cur = build_pyramid(imgs_cur, cfg.klt.n_levels)
+    img_hw = (imgs_cur.shape[1], imgs_cur.shape[2])
+    tracks = steps.advance_tracks(pyr_prev, pyr_cur, state.tracks, K, kc,
+                                  state.frame + 1, cfg)
+    state = state._replace(tracks=tracks, frame=state.frame + 1)
+    out = steps.pose_update(state, K, kc, img_hw, cfg)
+    state = state._replace(R=out.R, t=out.t, tracks=out.tracks,
+                           mappts=out.mappts)
+    state = steps.push_pose_history(state)
+    mappts, tracks2, n_new = steps.new_map_points(state, pyr_cur, K, kc, cfg)
+    state = state._replace(mappts=mappts, tracks=tracks2)
+    stats = FrameStats(
+        n_inliers=out.n_inliers, coverage=out.coverage,
+        med_depth=out.med_depth, med_err=out.med_err,
+        n_new_points=n_new, n_tracked=jnp.sum(tracks2.valid, axis=1))
+    return state, stats

@@ -1,0 +1,308 @@
+"""Host-side pipeline orchestrator.
+
+Replaces the reference's CoSLAMThread master loop + CoSLAM orchestrator
+(CoSLAMThread.cpp:44-147, SL_CoSLAM.cpp — SURVEY.md §3.3): the per-frame
+hot path is a short sequence of jitted device calls over statically-shaped
+state; only tiny scalar decisions (keyframe triggers, BA cadence, group
+bookkeeping) run on host. The reference's async-BA thread + mutex
+machinery (SURVEY.md §2.7) becomes a deterministic BA-at-keyframe call —
+functionally pure, so the mutex/cancel machinery dissolves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from coslam_tpu.config import SlamConfig
+from coslam_tpu.geometry import camera as cam
+from coslam_tpu.geometry import epipolar
+from coslam_tpu.geometry.se3 import relative_pose
+from coslam_tpu.ops import build_pyramid, detect_corners
+from coslam_tpu.slam import steps
+from coslam_tpu.slam.state import (
+    SlamState, init_state, history_len, ST_ALIVE, ST_FREE, PT_STATIC)
+from coslam_tpu.solvers.ba import bundle_adjust
+from coslam_tpu.solvers.pose_graph import chain_graph, solve_rotations, \
+    solve_translations
+
+
+class CoSlamEngine:
+    """One engine = N synchronized cameras (the CoSLAM object equivalent).
+
+    Usage:
+        eng = CoSlamEngine(cfg, K, kc)
+        for f in range(F):
+            stats = eng.process_frame(images[f])   # [C, H, W] f32
+        Rs, ts = eng.trajectory(0)                 # corrected, per camera
+    """
+
+    def __init__(self, cfg: SlamConfig, K: np.ndarray, kc: np.ndarray):
+        self.cfg = cfg
+        C = cfg.num_cameras
+        assert K.shape == (C, 3, 3)
+        self.K = jnp.asarray(K, jnp.float32)
+        self.kc = jnp.asarray(kc, jnp.float32)
+        self.state = init_state(cfg)
+        self.pyr_prev = None
+        self.frame = 0
+        self.bootstrapped = False
+        # host logs
+        self.traj: list[list] = [[] for _ in range(C)]   # (R, t) per frame
+        self.rel: list[list] = [[] for _ in range(C)]    # frame-to-frame rels
+        self.kf_frames: list[int] = []
+        self._kf_inliers = np.zeros(C)
+        self.stats_log: list[dict] = []
+
+    # ------------------------------------------------------------------
+    @property
+    def img_hw(self):
+        return (self.cfg.image_height, self.cfg.image_width)
+
+    def process_frame(self, images: np.ndarray) -> dict:
+        cfg = self.cfg
+        imgs = jnp.asarray(images, jnp.float32)
+        pyr = build_pyramid(imgs, cfg.klt.n_levels)
+        stats = {"frame": self.frame}
+        if self.frame == 0:
+            self._first_frame(pyr)
+        else:
+            self.state = self.state._replace(
+                tracks=steps.advance_tracks(
+                    self.pyr_prev, pyr, self.state.tracks, self.K, self.kc,
+                    self.state.frame + 1, cfg),
+                frame=self.state.frame + 1)
+            if not self.bootstrapped:
+                if self.frame >= cfg.p.init_frames:
+                    ok = self._bootstrap(pyr)
+                    stats["bootstrap"] = bool(ok)
+            else:
+                stats.update(self._tracked_frame(pyr))
+        self._record_pose()
+        self.pyr_prev = pyr
+        self.frame += 1
+        stats.setdefault("n_inliers", np.zeros(cfg.num_cameras))
+        self.stats_log.append(stats)
+        return stats
+
+    # ------------------------------------------------------------------
+    def _first_frame(self, pyr):
+        cfg = self.cfg
+        N = cfg.cap.max_features
+        det = detect_corners(pyr.imgs[0], pyr.dxs[0], pyr.dys[0], cfg.klt, N)
+        # seed_tracks expects undistorted px; detector output is raw px
+        pos_ud = cam.undistort_points(det.pos, self.K[:, None],
+                                      self.kc[:, None])
+        tracks = steps.seed_tracks(
+            self.state.tracks, pos_ud, det.valid,
+            jnp.full(det.valid.shape, -1, jnp.int32), self.K, self.kc,
+            jnp.zeros((), jnp.int32))
+        self.state = self.state._replace(tracks=tracks)
+
+    # ------------------------------------------------------------------
+    def _bootstrap(self, pyr) -> bool:
+        """Monocular two-frame bootstrap (initMapSingleCam equivalent,
+        SL_CoSLAM.cpp:140-219): E-matrix between frame 0 and now,
+        triangulate, anchor scale at cfg.p.bootstrap_depth median depth.
+        Multi-camera bootstrap lives in slam/initmap.py."""
+        cfg = self.cfg
+        st = self.state
+        T = history_len(cfg)
+        ring0 = 0  # frame 0 ring slot
+        x0 = st.tracks.hist[:, ring0]            # [C, N, 2] undistorted px
+        ok0 = st.tracks.hist_valid[:, ring0] & st.tracks.valid
+        c = 0  # monocular: camera 0 (multi-cam handled elsewhere)
+        xn0 = cam.pixel_to_normalized(x0[c], self.K[c])
+        xn1 = cam.pixel_to_normalized(st.tracks.pos[c], self.K[c])
+        thresh = (1.5 / float(self.K[c, 0, 0])) ** 2
+        res = epipolar.ransac_fundamental(
+            jax.random.PRNGKey(self.frame), xn0, xn1, ok0[c],
+            num_hypotheses=512, thresh=thresh)
+        if int(res.num_inliers) < 30:
+            return False
+        R1, t1, X, good = epipolar.recover_pose_from_essential(
+            res.F, xn0, xn1, res.inliers)
+        if int(jnp.sum(good)) < 30:
+            return False
+        # scale anchor
+        med_z = float(jnp.nanmedian(jnp.where(good, X[:, 2], jnp.nan)))
+        if not np.isfinite(med_z) or med_z <= 0:
+            return False
+        s = cfg.p.bootstrap_depth / med_z
+        X = X * s
+        t1 = t1 * s
+        # proper first-order covariance of the bootstrap triangulation
+        from coslam_tpu.geometry.triangulate import triangulation_cov
+        n = X.shape[0]
+        Ks2 = jnp.broadcast_to(self.K[c][None, None], (n, 2, 3, 3))
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32)[None], (n, 3, 3))
+        Rs2 = jnp.stack([eye, jnp.broadcast_to(R1[None], (n, 3, 3))], axis=1)
+        ts2 = jnp.stack([jnp.zeros((n, 3), jnp.float32),
+                         jnp.broadcast_to(t1[None], (n, 3))], axis=1)
+        covX = triangulation_cov(Ks2, Rs2, ts2, X, jnp.ones((n, 2), bool),
+                                 pixel_var=cfg.p.pixel_err_var)
+        self.state = self._bootstrap_commit(st, jnp.asarray(R1),
+                                            jnp.asarray(t1), X, good, x0, covX)
+        self.bootstrapped = True
+        self.kf_frames = [0, self.frame]
+        return True
+
+    def _bootstrap_commit(self, st: SlamState, R1, t1, X, good, x0, covX):
+        """Write bootstrap results into state (device). Camera 0 only."""
+        cfg = self.cfg
+        C, N = st.tracks.valid.shape
+        P = st.mappts.xyz.shape[0]
+        # allocate the first sum(good) map slots to the good tracks of cam 0
+        rank = jnp.cumsum(good) - 1
+        slot = jnp.where(good, rank, P)
+        mpt_c0 = jnp.where(good, slot, -1).astype(jnp.int32)
+        mappts = st.mappts
+        mappts = mappts._replace(
+            xyz=mappts.xyz.at[slot].set(X, mode="drop"),
+            cov=mappts.cov.at[slot].set(covX, mode="drop"),
+            status=mappts.status.at[slot].set(ST_ALIVE, mode="drop"),
+            ptype=mappts.ptype.at[slot].set(PT_STATIC, mode="drop"),
+            first_frame=mappts.first_frame.at[slot].set(0, mode="drop"),
+            last_obs=mappts.last_obs.at[slot].set(st.frame, mode="drop"))
+        mpt = jnp.full((C, N), -1, jnp.int32).at[0].set(mpt_c0)
+        tracks = steps.seed_tracks(st.tracks, st.tracks.pos, st.tracks.valid,
+                                   mpt, self.K, self.kc, st.frame)
+        R = st.R.at[0].set(R1)
+        t = st.t.at[0].set(t1)
+        state = st._replace(tracks=tracks, mappts=mappts, R=R, t=t)
+        state = steps.push_pose_history(state)
+        # keyframe 0 (identity pose, frame-0 observations) + current keyframe
+        kfs = state.kfs
+        kfs = kfs._replace(
+            frame=kfs.frame.at[0].set(0),
+            obs_pos=kfs.obs_pos.at[0, 0].set(x0[0]),
+            obs_mpt=kfs.obs_mpt.at[0, 0].set(mpt_c0),
+            n=kfs.n + 1)
+        state = state._replace(kfs=kfs)
+        kfs = steps.add_keyframe(state)
+        state = state._replace(kfs=kfs)
+        self._kf_inliers = np.full(C, float(jnp.sum(good)))
+        return state
+
+    # ------------------------------------------------------------------
+    def _tracked_frame(self, pyr) -> dict:
+        cfg = self.cfg
+        out = steps.pose_update(self.state, self.K, self.kc, self.img_hw, cfg)
+        self.state = self.state._replace(
+            R=out.R, t=out.t, tracks=out.tracks, mappts=out.mappts)
+        self.state = steps.push_pose_history(self.state)
+        mappts, tracks, n_new = steps.new_map_points(
+            self.state, pyr, self.K, self.kc, cfg)
+        self.state = self.state._replace(mappts=mappts, tracks=tracks)
+        n_inl = np.asarray(out.n_inliers)
+        stats = {
+            "n_inliers": n_inl,
+            "coverage": np.asarray(out.coverage),
+            "med_err": np.asarray(out.med_err),
+            "med_depth": np.asarray(out.med_depth),
+            "n_new_points": int(n_new),
+        }
+        if self._keyframe_ready(out):
+            self.state = self.state._replace(kfs=steps.add_keyframe(self.state))
+            self.kf_frames.append(self.frame)
+            self._kf_inliers = n_inl.copy()
+            if (len(self.kf_frames) % cfg.p.ba_cadence) == 0:
+                self._run_ba()
+            stats["keyframe"] = True
+        self.state = self.state._replace(
+            mappts=steps.lifecycle_update(self.state.mappts,
+                                          self.state.frame, cfg))
+        return stats
+
+    def _keyframe_ready(self, out) -> bool:
+        cfg = self.cfg
+        p = cfg.p
+        if not self.kf_frames:
+            return False
+        if self.frame - self.kf_frames[-1] < p.keyframe_min_interval:
+            return False
+        n_inl = np.asarray(out.n_inliers)
+        decrease = np.any(n_inl < 0.8 * np.maximum(self._kf_inliers, 1))
+        # translation / view-angle change since last keyframe (per camera 0)
+        kf_idx = (int(self.state.kfs.n) - 1) % self.state.kfs.frame.shape[0]
+        R_kf = np.asarray(self.state.kfs.R[kf_idx])
+        t_kf = np.asarray(self.state.kfs.t[kf_idx])
+        R_cur = np.asarray(self.state.R)
+        t_cur = np.asarray(self.state.t)
+        c_kf = -np.einsum("cji,cj->ci", R_kf, t_kf)
+        c_cur = -np.einsum("cji,cj->ci", R_cur, t_cur)
+        depth = np.asarray(out.med_depth)
+        depth = np.where(np.isfinite(depth) & (depth > 0), depth, 10.0)
+        trans = np.linalg.norm(c_cur - c_kf, axis=-1) / depth
+        tr = np.einsum("cij,cij->c", R_cur, R_kf)
+        ang = np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+        return bool(decrease or np.any(trans > p.keyframe_trans_ratio)
+                    or np.any(ang > p.keyframe_angle_deg))
+
+    def _run_ba(self):
+        cfg = self.cfg
+        prob, ring, kf_ok = steps.build_ba_problem(self.state, self.K, cfg)
+        res = bundle_adjust(prob, max_err=cfg.p.max_err,
+                            max_iter=cfg.p.ba_max_iter,
+                            inner_iter=cfg.p.ba_inner_iter)
+        self.state = steps.apply_ba_results(self.state, prob, res, ring,
+                                            kf_ok, cfg)
+
+    # ------------------------------------------------------------------
+    def _record_pose(self):
+        R = np.asarray(self.state.R)
+        t = np.asarray(self.state.t)
+        for c in range(self.cfg.num_cameras):
+            if self.traj[c]:
+                R_prev, t_prev = self.traj[c][-1]
+                Rr, tr = relative_pose(jnp.asarray(R_prev), jnp.asarray(t_prev),
+                                       jnp.asarray(R[c]), jnp.asarray(t[c]))
+                self.rel[c].append((np.asarray(Rr), np.asarray(tr)))
+            self.traj[c].append((R[c].copy(), t[c].copy()))
+
+    def trajectory(self, c: int = 0, correct: bool = True):
+        """Return ([F,3,3], [F,3]) for camera c. With correct=True, non-key
+        poses are re-aligned to the final (BA-corrected) keyframe poses via
+        the chain pose graph (updateNonKeyCameraPoses equivalent)."""
+        Rs = np.stack([p[0] for p in self.traj[c]])
+        ts = np.stack([p[1] for p in self.traj[c]])
+        if not correct or not self.kf_frames:
+            return Rs, ts
+        F = Rs.shape[0]
+        KF = self.state.kfs.frame.shape[0]
+        fixed = np.zeros(F, dtype=bool)
+        fixed_R = Rs.copy()
+        fixed_t = ts.copy()
+        kf_frames = np.asarray(self.state.kfs.frame)
+        for w in range(min(int(self.state.kfs.n), KF)):
+            idx = (int(self.state.kfs.n) - 1 - w) % KF
+            f = int(kf_frames[idx])
+            if 0 <= f < F:
+                fixed[f] = True
+                fixed_R[f] = np.asarray(self.state.kfs.R[idx, c])
+                fixed_t[f] = np.asarray(self.state.kfs.t[idx, c])
+        fixed[0] = True
+        if len(self.rel[c]) != F - 1:
+            return Rs, ts
+        R_rel = np.stack([r[0] for r in self.rel[c]]) if F > 1 else \
+            np.zeros((0, 3, 3), np.float32)
+        t_rel = np.stack([r[1] for r in self.rel[c]]) if F > 1 else \
+            np.zeros((0, 3), np.float32)
+        pg = chain_graph(jnp.asarray(R_rel), jnp.asarray(t_rel),
+                         jnp.asarray(fixed), jnp.asarray(fixed_R),
+                         jnp.asarray(fixed_t), jnp.ones(F, dtype=bool))
+        R_sol = solve_rotations(pg)
+        t_sol, _ = solve_translations(pg, R_sol)
+        return np.asarray(R_sol), np.asarray(t_sol)
+
+    # ------------------------------------------------------------------
+    def map_points(self):
+        """Alive map points as numpy (id, xyz, cov)."""
+        st = self.state.mappts
+        alive = np.asarray(st.status) == ST_ALIVE
+        ids = np.nonzero(alive)[0]
+        return ids, np.asarray(st.xyz)[alive], np.asarray(st.cov)[alive]

@@ -1,0 +1,130 @@
+"""Fixed-capacity SoA SLAM state.
+
+Design delta from the reference (SURVEY.md §7): the pointer-linked lists
+(FeaturePoint chains SL_FeaturePoint.h:24-64, MapPoint with per-camera
+feature pointers SL_MapPoint.h:34-128, CamPoseList, KeyPose ring) become
+statically-shaped arrays with validity masks:
+
+  - feature/track slots [C, N]   (N = 32x32 = 1024 like the KLT grid)
+  - map-point slots     [P]      with per-camera obs binding [P] <-> [C, N]
+  - rolling history     [C, T, N] ring (replaces preFrame/nextFrame chains)
+  - keyframe ring       [KF]     (replaces KeyPoseList)
+
+so every stage is a jitted, vmapped device function and state never
+reallocates (no recompilation).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from coslam_tpu.config import SlamConfig
+
+# map-point lifecycle status
+ST_FREE = 0
+ST_ALIVE = 1
+ST_FALSE = 2      # classified false -> slot reclaimable
+
+# map-point type (MapPoint type machine, SL_MapPoint.h:87-119)
+PT_STATIC = 0
+PT_DYNAMIC = 1
+PT_UNCERTAIN = 2
+
+
+class TrackTable(NamedTuple):
+    """KLT slot table + rolling 2D history (Track2D equivalent)."""
+
+    pos: jnp.ndarray        # [C, N, 2] undistorted px (SLAM space)
+    raw: jnp.ndarray        # [C, N, 2] distorted px (tracker space)
+    valid: jnp.ndarray      # [C, N]
+    age: jnp.ndarray        # [C, N] i32 frames tracked
+    gain: jnp.ndarray       # [C, N]
+    mpt: jnp.ndarray        # [C, N] i32 bound map slot, -1 = unmapped
+    dyn_votes: jnp.ndarray  # [C, N] i32 epipolar-violation votes (dynamic det.)
+    hist: jnp.ndarray       # [C, T, N, 2] undistorted history ring
+    hist_valid: jnp.ndarray  # [C, T, N]
+
+
+class MapPoints(NamedTuple):
+    xyz: jnp.ndarray         # [P, 3]
+    cov: jnp.ndarray         # [P, 3, 3]
+    status: jnp.ndarray      # [P] i32 (ST_*)
+    ptype: jnp.ndarray       # [P] i32 (PT_*)
+    first_frame: jnp.ndarray  # [P] i32
+    last_obs: jnp.ndarray    # [P] i32 last frame with any observation
+    ncc: jnp.ndarray         # [P, C, B] per-camera appearance blocks
+    ncc_valid: jnp.ndarray   # [P, C]
+
+
+class KeyframeStore(NamedTuple):
+    """Ring of keyframes with per-slot observation snapshots
+    (KeyPose/KeyFrame equivalent; feeds BA windows)."""
+
+    frame: jnp.ndarray    # [KF] i32, -1 = empty
+    R: jnp.ndarray        # [KF, C, 3, 3]
+    t: jnp.ndarray        # [KF, C, 3]
+    obs_pos: jnp.ndarray  # [KF, C, N, 2] undistorted px at the keyframe
+    obs_mpt: jnp.ndarray  # [KF, C, N] i32 map binding at the keyframe
+    n: jnp.ndarray        # scalar i32: total keyframes ever written
+
+
+class SlamState(NamedTuple):
+    frame: jnp.ndarray        # scalar i32
+    R: jnp.ndarray            # [C, 3, 3] current world->camera
+    t: jnp.ndarray            # [C, 3]
+    tracks: TrackTable
+    mappts: MapPoints
+    kfs: KeyframeStore
+    pose_hist_R: jnp.ndarray  # [C, T, 3, 3] ring aligned with tracks.hist
+    pose_hist_t: jnp.ndarray  # [C, T, 3]
+    group_id: jnp.ndarray     # [C] i32 camera-group assignment
+
+
+def history_len(cfg: SlamConfig) -> int:
+    return max(cfg.p.min_feat_track_len + 1, 8)
+
+
+def init_state(cfg: SlamConfig) -> SlamState:
+    C = cfg.num_cameras
+    N = cfg.cap.max_features
+    P = cfg.cap.max_map_points
+    KF = cfg.cap.max_keyframes
+    T = history_len(cfg)
+    B = (2 * cfg.p.ncc_patch_radius + 1) ** 2
+    f32 = jnp.float32
+    i32 = jnp.int32
+    tracks = TrackTable(
+        pos=jnp.zeros((C, N, 2), f32), raw=jnp.zeros((C, N, 2), f32),
+        valid=jnp.zeros((C, N), bool), age=jnp.zeros((C, N), i32),
+        gain=jnp.ones((C, N), f32),
+        mpt=jnp.full((C, N), -1, i32),
+        dyn_votes=jnp.zeros((C, N), i32),
+        hist=jnp.zeros((C, T, N, 2), f32),
+        hist_valid=jnp.zeros((C, T, N), bool))
+    mappts = MapPoints(
+        xyz=jnp.zeros((P, 3), f32),
+        cov=jnp.zeros((P, 3, 3), f32),
+        status=jnp.zeros((P,), i32),
+        ptype=jnp.zeros((P,), i32),
+        first_frame=jnp.zeros((P,), i32),
+        last_obs=jnp.zeros((P,), i32),
+        ncc=jnp.zeros((P, C, B), f32),
+        ncc_valid=jnp.zeros((P, C), bool))
+    kfs = KeyframeStore(
+        frame=jnp.full((KF,), -1, i32),
+        R=jnp.tile(jnp.eye(3, dtype=f32), (KF, C, 1, 1)),
+        t=jnp.zeros((KF, C, 3), f32),
+        obs_pos=jnp.zeros((KF, C, N, 2), f32),
+        obs_mpt=jnp.full((KF, C, N), -1, i32),
+        n=jnp.zeros((), i32))
+    return SlamState(
+        frame=jnp.zeros((), i32),
+        R=jnp.tile(jnp.eye(3, dtype=f32), (C, 1, 1)),
+        t=jnp.zeros((C, 3), f32),
+        tracks=tracks, mappts=mappts, kfs=kfs,
+        pose_hist_R=jnp.tile(jnp.eye(3, dtype=f32), (C, T, 1, 1)),
+        pose_hist_t=jnp.zeros((C, T, 3), f32),
+        group_id=jnp.zeros((C,), i32))

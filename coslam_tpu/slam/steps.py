@@ -1,0 +1,472 @@
+"""Per-frame device step functions (jitted, camera-batched).
+
+Each function here is the TPU-native equivalent of one pipeline stage of
+the reference's per-frame loop (CoSLAMThread.cpp:95-129; SURVEY.md §3.3):
+
+  advance_tracks      <- featureTracking + GPUKLT::next + redetect protocol
+                         (SL_SingleSLAM.cpp:329-331, GPUKLT.cpp:36-161,
+                          v3d_gpuklt.cpp:592-889)
+  choose_grid_features <- SingleSLAM::chooseStaticFeatPts block grid
+                         (SL_SingleSLAM.cpp:345-397)
+  pose_update         <- poseUpdate3D: IRLS pose + Mahalanobis gating +
+                         seqTriangulate refinement (SL_SingleSLAM.cpp:600-753)
+  new_map_points      <- SingleSLAM::newMapPoints two-view triangulation of
+                         mature unmapped tracks with the parallax-widest
+                         second view (SL_SingleSLAM.cpp:922-1050)
+  add_keyframe        <- CoSLAM::addKeyFrame / addKeyPose
+  build_ba_problem /
+  apply_ba_results    <- RobustBundleRTS window collection + write-back
+                         (SL_CoSLAMRobustBA.cpp:37-180,273-316)
+
+All dynamic structure (variable feature counts, allocation) is expressed
+with masks and argsort-compaction so shapes stay static (no recompiles).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from coslam_tpu.config import SlamConfig
+from coslam_tpu.geometry.camera import (
+    undistort_points, pixel_to_normalized, project_points, projection_cov,
+    mahalanobis2_2d, camera_center)
+from coslam_tpu.geometry.triangulate import (
+    triangulate_two_view_midpoint, triangulation_cov, seq_triangulate_update)
+from coslam_tpu.ops import klt_track, detect_corners, extract_ncc_blocks
+from coslam_tpu.ops.pyramid import Pyramid
+from coslam_tpu.solvers.pose import irls_pose
+from coslam_tpu.solvers.ba import BAProblem, BAResult
+from coslam_tpu.slam.state import (
+    SlamState, TrackTable, MapPoints, KeyframeStore, history_len,
+    ST_FREE, ST_ALIVE, ST_FALSE, PT_STATIC, PT_DYNAMIC, PT_UNCERTAIN)
+
+
+# ---------------------------------------------------------------------------
+# tracking + redetect
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def advance_tracks(pyr_prev: Pyramid, pyr_cur: Pyramid, tracks: TrackTable,
+                   K: jnp.ndarray, kc: jnp.ndarray, frame: jnp.ndarray,
+                   cfg: SlamConfig) -> TrackTable:
+    """KLT-track all slots, then refill dead slots from fresh corners
+    (the every-frame ``redetect`` protocol, GPUKLT.cpp:144-161)."""
+    C, N = tracks.valid.shape
+    T = tracks.hist.shape[1]
+    res = klt_track(pyr_prev, pyr_cur, tracks.raw, tracks.valid, cfg.klt)
+    survived = tracks.valid & res.valid
+    raw = jnp.where(survived[..., None], res.pos, tracks.raw)
+    # detect replacement corners away from surviving tracks
+    det = detect_corners(pyr_cur.imgs[0], pyr_cur.dxs[0], pyr_cur.dys[0],
+                         cfg.klt, N, exclude_pos=raw, exclude_valid=survived)
+
+    def refill(raw_c, surv_c, det_pos_c, det_ok_c):
+        free_order = jnp.argsort(surv_c)          # free slots first (stable)
+        n_free = jnp.sum(~surv_c)
+        k = jnp.arange(N)
+        use = det_ok_c & (k < n_free)
+        slot = free_order[k]
+        raw_c = raw_c.at[slot].set(
+            jnp.where(use[:, None], det_pos_c, raw_c[slot]))
+        newly = jnp.zeros((N,), bool).at[slot].set(use)
+        return raw_c, newly
+
+    raw, newly = jax.vmap(refill)(raw, survived, det.pos, det.valid)
+    valid = survived | newly
+    age = jnp.where(newly, 1, jnp.where(survived, tracks.age + 1, 0))
+    mpt = jnp.where(newly, -1, jnp.where(survived, tracks.mpt, -1))
+    dyn_votes = jnp.where(survived, tracks.dyn_votes, 0)
+    gain = jnp.where(newly, 1.0, res.gain)
+    pos = undistort_points(raw, K[:, None], kc[:, None])
+    # history ring: clear refilled slots' past, then write current entry
+    slot_idx = jnp.mod(frame, T)
+    hist_valid = jnp.where(newly[:, None, :], False, tracks.hist_valid)
+    hist = tracks.hist.at[:, slot_idx].set(pos)
+    hist_valid = hist_valid.at[:, slot_idx].set(valid)
+    return TrackTable(pos=pos, raw=raw, valid=valid, age=age, gain=gain,
+                      mpt=mpt, dyn_votes=dyn_votes, hist=hist,
+                      hist_valid=hist_valid)
+
+
+def seed_tracks(tracks: TrackTable, pos: jnp.ndarray, valid: jnp.ndarray,
+                mpt: jnp.ndarray, K: jnp.ndarray, kc: jnp.ndarray,
+                frame: jnp.ndarray) -> TrackTable:
+    """Overwrite the table with externally chosen points (bootstrap seeding;
+    feedExternFeatPoints role, v3d_gpuklt.cpp:808-855). ``pos`` is in
+    undistorted pixel space; raw positions are reconstructed by applying
+    distortion (identity when kc = 0)."""
+    from coslam_tpu.geometry.camera import (distort_normalized,
+                                            normalized_to_pixel)
+    T = tracks.hist.shape[1]
+    xn = pixel_to_normalized(pos, K[:, None])
+    raw = normalized_to_pixel(distort_normalized(xn, kc[:, None]), K[:, None])
+    slot_idx = jnp.mod(frame, T)
+    hist = jnp.zeros_like(tracks.hist).at[:, slot_idx].set(pos)
+    hist_valid = jnp.zeros_like(tracks.hist_valid).at[:, slot_idx].set(valid)
+    return TrackTable(
+        pos=pos, raw=raw, valid=valid,
+        age=jnp.where(valid, 1, 0), gain=jnp.ones_like(tracks.gain),
+        mpt=jnp.where(valid, mpt, -1),
+        dyn_votes=jnp.zeros_like(tracks.dyn_votes),
+        hist=hist, hist_valid=hist_valid)
+
+
+# ---------------------------------------------------------------------------
+# pose update
+# ---------------------------------------------------------------------------
+
+def choose_grid_features(tracks: TrackTable, mappts: MapPoints,
+                         img_hw, cfg: SlamConfig) -> jnp.ndarray:
+    """One mapped static feature per image block (12x16 grid,
+    SL_SingleSLAM.h:25-39): returns a [C, N] selection mask."""
+    C, N = tracks.valid.shape
+    rows, cols = cfg.cap.pose_grid_rows, cfg.cap.pose_grid_cols
+    h, w = img_hw
+    mapped = tracks.mpt >= 0
+    pstat = (mappts.status[jnp.clip(tracks.mpt, 0)] == ST_ALIVE) & \
+            (mappts.ptype[jnp.clip(tracks.mpt, 0)] == PT_STATIC)
+    cand = tracks.valid & mapped & pstat
+    cy = jnp.clip((tracks.pos[..., 1] * rows / h).astype(jnp.int32), 0, rows - 1)
+    cx = jnp.clip((tracks.pos[..., 0] * cols / w).astype(jnp.int32), 0, cols - 1)
+    cell = cy * cols + cx
+    # distance to cell center as priority (lower wins)
+    ccx = (cx.astype(tracks.pos.dtype) + 0.5) * (w / cols)
+    ccy = (cy.astype(tracks.pos.dtype) + 0.5) * (h / rows)
+    prio = jnp.hypot(tracks.pos[..., 0] - ccx, tracks.pos[..., 1] - ccy)
+    prio = jnp.where(cand, prio, jnp.inf)
+
+    def per_cam(cell_c, prio_c, cand_c):
+        best = jnp.full((rows * cols,), jnp.inf, prio_c.dtype)
+        best = best.at[cell_c].min(prio_c)
+        sel = cand_c & (prio_c <= best[cell_c]) & jnp.isfinite(prio_c)
+        return sel
+
+    return jax.vmap(per_cam)(cell, prio, cand)
+
+
+class PoseUpdateOut(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    tracks: TrackTable
+    mappts: MapPoints
+    n_inliers: jnp.ndarray    # [C]
+    coverage: jnp.ndarray     # [C] bbox area fraction of inlier features
+    med_depth: jnp.ndarray    # [C] median depth of mapped static points
+    med_err: jnp.ndarray      # [C]
+
+
+@partial(jax.jit, static_argnames=("cfg", "img_hw"))
+def pose_update(state: SlamState, K: jnp.ndarray, kc: jnp.ndarray,
+                img_hw, cfg: SlamConfig,
+                large_err: bool = False) -> PoseUpdateOut:
+    """Per-camera IRLS pose + Mahalanobis inlier/outlier gating +
+    sequential map-point refinement (poseUpdate3D)."""
+    tracks, mappts = state.tracks, state.mappts
+    C, N = tracks.valid.shape
+    p = cfg.p
+    sel = choose_grid_features(tracks, mappts, img_hw, cfg)
+    mi = jnp.clip(tracks.mpt, 0)
+    X = mappts.xyz[mi]                                  # [C, N, 3]
+    tau = p.max_err * (2.0 if large_err else 1.0)
+
+    def solve_cam(Kc, R0, t0, Xc, pxc, selc):
+        out = irls_pose(Kc, R0, t0, Xc, pxc, selc, tau)
+        return out.R, out.t
+
+    R_new, t_new = jax.vmap(solve_cam)(K, state.R, state.t, X, tracks.pos, sel)
+    # fall back to previous pose if too few selected points (<5) or solve blew up
+    n_sel = jnp.sum(sel, axis=1)
+    ok_cam = (n_sel >= 5) & jnp.all(jnp.isfinite(R_new), axis=(1, 2)) \
+        & jnp.all(jnp.isfinite(t_new), axis=1)
+    R_new = jnp.where(ok_cam[:, None, None], R_new, state.R)
+    t_new = jnp.where(ok_cam[:, None], t_new, state.t)
+
+    # Mahalanobis gating of ALL mapped static features under the new pose
+    mapped = tracks.valid & (tracks.mpt >= 0) & \
+        (mappts.status[mi] == ST_ALIVE)
+    is_static = mappts.ptype[mi] == PT_STATIC
+    pred = project_points(K[:, None], R_new[:, None], t_new[:, None], X)
+    resid = tracks.pos - pred
+    Scov = projection_cov(K[:, None], R_new[:, None], t_new[:, None], X,
+                          mappts.cov[mi], pixel_var=p.pixel_err_var)
+    maha2 = mahalanobis2_2d(resid, Scov)
+    out_gate = (p.maha_outlier * (2.0 if large_err else 1.0)) ** 2
+    in_gate = p.maha_inlier ** 2
+    outlier = mapped & is_static & (maha2 > out_gate)
+    inlier = mapped & is_static & (maha2 <= in_gate)
+    # outliers detach from the map (the point survives; classification and
+    # registration may re-acquire or kill it later)
+    tracks = tracks._replace(mpt=jnp.where(outlier, -1, tracks.mpt))
+
+    # sequential refinement of inlier static points (seqTriangulate role):
+    # fold each camera's current observation into (xyz, cov) in turn
+    xyz, cov = mappts.xyz, mappts.cov
+    for c in range(C):
+        w_in = inlier[c]
+        Xp = xyz[mi[c]]
+        Cp = cov[mi[c]]
+        Xn, Cn, _ = seq_triangulate_update(
+            K[c], R_new[c], t_new[c], tracks.pos[c], Xp, Cp,
+            pixel_var=p.pixel_err_var, gate_maha2=in_gate)
+        upd = w_in
+        xyz = xyz.at[mi[c]].set(jnp.where(upd[:, None], Xn, Xp), mode="drop")
+        cov = cov.at[mi[c]].set(jnp.where(upd[:, None, None], Cn, Cp),
+                                mode="drop")
+    # observation bookkeeping
+    seen = jnp.zeros_like(mappts.last_obs, dtype=bool)
+    seen = seen.at[jnp.where(mapped & ~outlier, tracks.mpt, -1)].set(
+        True, mode="drop")
+    last_obs = jnp.where(seen, state.frame, mappts.last_obs)
+    mappts = mappts._replace(xyz=xyz, cov=cov, last_obs=last_obs)
+
+    # stats
+    depth = jnp.einsum("cj,cnj->cn", R_new[:, 2, :], X) + t_new[:, 2:3]
+    med_depth = jnp.nanmedian(jnp.where(mapped & is_static, depth, jnp.nan),
+                           axis=1)
+    err = jnp.linalg.norm(resid, axis=-1)
+    med_err = jnp.nanmedian(jnp.where(inlier, err, jnp.nan), axis=1)
+    h, w = img_hw
+    fx = jnp.where(inlier, tracks.pos[..., 0], jnp.nan)
+    fy = jnp.where(inlier, tracks.pos[..., 1], jnp.nan)
+    cov_frac = ((jnp.nanmax(fx, 1) - jnp.nanmin(fx, 1))
+                * (jnp.nanmax(fy, 1) - jnp.nanmin(fy, 1))) / float(h * w)
+    cov_frac = jnp.where(jnp.isfinite(cov_frac), cov_frac, 0.0)
+    return PoseUpdateOut(R=R_new, t=t_new, tracks=tracks, mappts=mappts,
+                         n_inliers=jnp.sum(inlier, 1), coverage=cov_frac,
+                         med_depth=med_depth, med_err=med_err)
+
+
+# ---------------------------------------------------------------------------
+# new map points (intra-camera)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def new_map_points(state: SlamState, pyr_cur: Pyramid, K: jnp.ndarray,
+                   kc: jnp.ndarray, cfg: SlamConfig):
+    """Two-view triangulation of mature unmapped tracks against the
+    parallax-widest view in the rolling history (newMapPoints,
+    SL_SingleSLAM.cpp:922-1050). Returns (mappts', tracks', n_new)."""
+    tracks, mappts = state.tracks, state.mappts
+    C, N = tracks.valid.shape
+    T = tracks.hist.shape[1]
+    P = mappts.xyz.shape[0]
+    p = cfg.p
+    frame = state.frame
+    cand = tracks.valid & (tracks.mpt < 0) & \
+        (tracks.age >= p.min_feat_track_len) & \
+        (tracks.dyn_votes < 3)
+    xn_now = pixel_to_normalized(tracks.pos, K[:, None])          # [C,N,2]
+    # all history entries as second views: [C, T, N]
+    ages = jnp.minimum(tracks.age - 1, T - 1)
+    k_off = jnp.arange(T)                                          # offset back
+    past_frame = frame - k_off                                     # [T]
+    ring = jnp.mod(past_frame, T)                                  # [T]
+    hist_pos = jnp.take(tracks.hist, ring, axis=1)                 # [C,T,N,2]
+    hist_ok = jnp.take(tracks.hist_valid, ring, axis=1) & \
+        (k_off[None, :, None] >= 1) & (k_off[None, :, None] <= ages[:, None]) \
+        & (past_frame[None, :, None] >= 0)
+    Rp = jnp.take(state.pose_hist_R, ring, axis=1)                 # [C,T,3,3]
+    tp = jnp.take(state.pose_hist_t, ring, axis=1)                 # [C,T,3]
+    xn_past = pixel_to_normalized(hist_pos, K[:, None, None])
+    Xc, s_now, s_past, pcos = triangulate_two_view_midpoint(
+        state.R[:, None, None], state.t[:, None, None],
+        Rp[:, :, None], tp[:, :, None],
+        xn_now[:, None], xn_past)                                  # [C,T,N,*]
+    # reprojection gates in both views
+    pr_now = project_points(K[:, None, None], state.R[:, None, None],
+                            state.t[:, None, None], Xc)
+    pr_past = project_points(K[:, None, None], Rp[:, :, None],
+                             tp[:, :, None], Xc)
+    e_now = jnp.linalg.norm(pr_now - tracks.pos[:, None], axis=-1)
+    e_past = jnp.linalg.norm(pr_past - hist_pos, axis=-1)
+    max_cos = jnp.cos(jnp.deg2rad(p.new_point_min_parallax_deg))
+    good = hist_ok & (s_now > 1e-3) & (s_past > 1e-3) & \
+        (jnp.abs(pcos) < max_cos) & \
+        (e_now < p.reproj_new_point_gate) & (e_past < p.reproj_new_point_gate)
+    # widest parallax (smallest |cos|) among good views
+    score = jnp.where(good, -jnp.abs(pcos), -jnp.inf)
+    best_k = jnp.argmax(score, axis=1)                             # [C,N]
+    any_good = jnp.any(good, axis=1)
+    take = lambda A: jnp.take_along_axis(
+        A, best_k[:, None, :].reshape(C, 1, N, *(1,) * (A.ndim - 3)), axis=1
+    )[:, 0]
+    X_new = take(Xc)                                               # [C,N,3]
+    alloc = cand & any_good
+    # covariance from the two views (Rp/tp carry no N axis: index directly)
+    ci = jnp.arange(C)[:, None]
+    Rb = Rp[ci, best_k]                                            # [C,N,3,3]
+    tb = tp[ci, best_k]                                            # [C,N,3]
+    Ks2 = jnp.broadcast_to(K[:, None, None], (C, N, 2, 3, 3))
+    Rs2 = jnp.stack([jnp.broadcast_to(state.R[:, None], (C, N, 3, 3)), Rb], 2)
+    ts2 = jnp.stack([jnp.broadcast_to(state.t[:, None], (C, N, 3)), tb], 2)
+    covs = triangulation_cov(Ks2, Rs2, ts2, X_new,
+                             jnp.ones((C, N, 2), bool),
+                             pixel_var=p.pixel_err_var)
+    # NCC appearance at the current frame
+    blocks, blk_ok = jax.vmap(
+        lambda img, pos: extract_ncc_blocks(img, pos, p.ncc_patch_radius))(
+        pyr_cur.imgs[0], tracks.raw)
+    # ---- allocate map slots (free-list via argsort) ----
+    flat_alloc = alloc.reshape(-1)
+    flat_X = X_new.reshape(-1, 3)
+    flat_cov = covs.reshape(-1, 3, 3)
+    free = mappts.status == ST_FREE
+    free_order = jnp.argsort(~free)                 # free slots first
+    want_rank = jnp.cumsum(flat_alloc) - 1          # rank among allocators
+    n_free = jnp.sum(free)
+    can = flat_alloc & (want_rank < n_free)
+    slot = free_order[jnp.clip(want_rank, 0, P - 1)]
+    slot = jnp.where(can, slot, P)                  # P = drop
+    xyz = mappts.xyz.at[slot].set(flat_X, mode="drop")
+    cov = mappts.cov.at[slot].set(flat_cov, mode="drop")
+    status = mappts.status.at[slot].set(ST_ALIVE, mode="drop")
+    ptype = mappts.ptype.at[slot].set(PT_STATIC, mode="drop")
+    first_frame = mappts.first_frame.at[slot].set(frame, mode="drop")
+    last_obs = mappts.last_obs.at[slot].set(frame, mode="drop")
+    # per-camera NCC write: slot s belongs to camera c = flat_idx // N
+    cam_of = jnp.arange(C * N) // N
+    ncc = mappts.ncc.at[slot, cam_of].set(blocks.reshape(C * N, -1),
+                                          mode="drop")
+    ncc_valid = mappts.ncc_valid.at[slot, cam_of].set(blk_ok.reshape(-1),
+                                                      mode="drop")
+    mpt = jnp.where((slot < P).reshape(C, N), slot.reshape(C, N), tracks.mpt)
+    tracks = tracks._replace(mpt=mpt)
+    mappts = MapPoints(xyz=xyz, cov=cov, status=status, ptype=ptype,
+                       first_frame=first_frame, last_obs=last_obs,
+                       ncc=ncc, ncc_valid=ncc_valid)
+    return mappts, tracks, jnp.sum(can)
+
+
+# ---------------------------------------------------------------------------
+# keyframes + BA window
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def add_keyframe(state: SlamState) -> KeyframeStore:
+    kfs = state.kfs
+    KF = kfs.frame.shape[0]
+    w = jnp.mod(kfs.n, KF)
+    mapped = state.tracks.valid & (state.tracks.mpt >= 0)
+    return KeyframeStore(
+        frame=kfs.frame.at[w].set(state.frame),
+        R=kfs.R.at[w].set(state.R),
+        t=kfs.t.at[w].set(state.t),
+        obs_pos=kfs.obs_pos.at[w].set(state.tracks.pos),
+        obs_mpt=kfs.obs_mpt.at[w].set(
+            jnp.where(mapped, state.tracks.mpt, -1)),
+        n=kfs.n + 1)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def build_ba_problem(state: SlamState, K: jnp.ndarray,
+                     cfg: SlamConfig):
+    """Collect the last ``ba_window`` keyframes into a BAProblem
+    (RobustBundleRTS::addKeyFrames/addPoints). Returns (problem,
+    window_ring_idx [W]) with window position 0 = oldest."""
+    kfs, mappts = state.kfs, state.mappts
+    KF, C, N = kfs.obs_mpt.shape
+    P = mappts.xyz.shape[0]
+    W = cfg.cap.ba_window
+    # chronological window: positions n-W .. n-1 (clipped at 0)
+    start = jnp.maximum(kfs.n - W, 0)
+    kf_ord = start + jnp.arange(W)                  # absolute kf numbers
+    kf_ok = kf_ord < kfs.n
+    ring = jnp.mod(kf_ord, KF)
+    Rw = kfs.R[ring]                                # [W,C,3,3]
+    tw = kfs.t[ring]
+    obs_pos = kfs.obs_pos[ring]                     # [W,C,N,2]
+    obs_mpt = kfs.obs_mpt[ring]                     # [W,C,N]
+    mi = jnp.clip(obs_mpt, 0)
+    pt_ok = (mappts.status[mi] == ST_ALIVE) & (mappts.ptype[mi] == PT_STATIC)
+    obs_valid = (obs_mpt >= 0) & pt_ok & kf_ok[:, None, None]
+    O = W * C * N
+    obs_cam = jnp.broadcast_to(
+        (jnp.arange(W)[:, None, None] * C + jnp.arange(C)[None, :, None]),
+        (W, C, N)).reshape(O)
+    obs_pt = mi.reshape(O)
+    # points need >=2 window observations to move
+    cnt = jax.ops.segment_sum(obs_valid.reshape(O).astype(jnp.int32),
+                              obs_pt, num_segments=P)
+    point_fixed = cnt < 2
+    obs_valid = obs_valid.reshape(O) & (cnt[obs_pt] >= 2)
+    # gauge: cameras of the two oldest valid keyframes are fixed
+    n_valid = jnp.sum(kf_ok)
+    first_valid = W - n_valid
+    kf_fixed = jnp.arange(W) < (first_valid + 2)
+    cam_fixed = jnp.broadcast_to(kf_fixed[:, None], (W, C)).reshape(W * C)
+    prob = BAProblem(
+        K=jnp.broadcast_to(K[None], (W, C, 3, 3)).reshape(W * C, 3, 3),
+        R=Rw.reshape(W * C, 3, 3), t=tw.reshape(W * C, 3),
+        X=mappts.xyz,
+        obs_cam=obs_cam.astype(jnp.int32), obs_pt=obs_pt.astype(jnp.int32),
+        obs_px=obs_pos.reshape(O, 2), obs_valid=obs_valid,
+        cam_fixed=cam_fixed, point_fixed=point_fixed)
+    return prob, ring, kf_ok
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def apply_ba_results(state: SlamState, prob: BAProblem, res: BAResult,
+                     ring: jnp.ndarray, kf_ok: jnp.ndarray,
+                     cfg: SlamConfig) -> SlamState:
+    """Write back BA-corrected keyframe poses and points; flag outlier
+    points false (the Meas2D.outlier -> setFalse protocol,
+    SL_CoSLAMRobustBA.cpp:296-309); rigidly carry the newest keyframe's
+    correction onto the live pose and pose history."""
+    kfs, mappts = state.kfs, state.mappts
+    C = kfs.R.shape[1]
+    W = ring.shape[0]
+    R_new = res.R.reshape(W, C, 3, 3)
+    t_new = res.t.reshape(W, C, 3)
+    okw = kf_ok[:, None, None, None]
+    kfs = kfs._replace(
+        R=kfs.R.at[ring].set(jnp.where(okw, R_new, kfs.R[ring])),
+        t=kfs.t.at[ring].set(jnp.where(okw[..., 0], t_new, kfs.t[ring])))
+    # points: write back; any-outlier-observation points go false
+    P = mappts.xyz.shape[0]
+    n_bad = jax.ops.segment_sum(res.obs_outlier.astype(jnp.int32),
+                                prob.obs_pt, num_segments=P)
+    status = jnp.where((n_bad > 0) & (mappts.status == ST_ALIVE),
+                       ST_FALSE, mappts.status)
+    mappts = mappts._replace(xyz=res.X, status=status)
+    # live-pose correction from the newest keyframe:
+    # T_cur' = T_cur o (T_kf_old^-1 o T_kf_new)
+    newest = ring[W - 1]
+    R_old = state.kfs.R[newest]       # pre-update values still in state.kfs
+    t_old = state.kfs.t[newest]
+    R_upd = kfs.R[newest]
+    t_upd = kfs.t[newest]
+    # D = T_old^-1 o T_new : x -> R_old^T(R_new x) + R_old^T(t_new - t_old)
+    D_R = jnp.einsum("cji,cjk->cik", R_old, R_upd)
+    D_t = jnp.einsum("cji,cj->ci", R_old, t_upd - t_old)
+    R_cur = jnp.einsum("cij,cjk->cik", state.R, D_R)
+    t_cur = jnp.einsum("cij,cj->ci", state.R, D_t) + state.t
+    ph_R = jnp.einsum("ctij,cjk->ctik", state.pose_hist_R, D_R)
+    ph_t = jnp.einsum("ctij,cj->cti", state.pose_hist_R, D_t) \
+        + state.pose_hist_t
+    return state._replace(R=R_cur, t=t_cur, kfs=kfs, mappts=mappts,
+                          pose_hist_R=ph_R, pose_hist_t=ph_t)
+
+
+@jax.jit
+def push_pose_history(state: SlamState) -> SlamState:
+    """Record the current pose into the ring slot for the current frame
+    (call after pose_update, aligned with the track-history write)."""
+    T = state.pose_hist_R.shape[1]
+    s = jnp.mod(state.frame, T)
+    return state._replace(
+        pose_hist_R=state.pose_hist_R.at[:, s].set(state.R),
+        pose_hist_t=state.pose_hist_t.at[:, s].set(state.t))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def lifecycle_update(mappts: MapPoints, frame: jnp.ndarray,
+                     cfg: SlamConfig) -> MapPoints:
+    """cur -> active -> inactive migration is implicit (derived from
+    last_obs); false points are reclaimed as free slots (mapStateUpdate +
+    releaseFeatPts role, SL_CoSLAM.cpp:1176-1223,1786-1799)."""
+    status = jnp.where(mappts.status == ST_FALSE, ST_FREE, mappts.status)
+    return mappts._replace(status=status)
