@@ -49,14 +49,19 @@ def main():
                  dtype=np.float32), (C, 3, 3)))
     kc = jnp.zeros((C, 5), jnp.float32)
 
-    # warmup/compile
-    state, stats = frame_step(state, imgs_prev, imgs_cur, K, kc, cfg)
-    jax.block_until_ready(stats)
+    # warmup/compile. NOTE: on the axon-tunneled TPU, block_until_ready
+    # returns before execution completes; a host readback (np.asarray) is
+    # the only honest sync, so we time a chain of steps and sync once at
+    # the end through a value that depends on every step.
+    from coslam_tpu.ops import build_pyramid
+    pyr = build_pyramid(imgs_prev, cfg.klt.n_levels)
+    state, pyr, stats = frame_step(state, pyr, imgs_cur, K, kc, cfg)
+    _ = np.asarray(stats.n_tracked)
     n_iters = 30
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        state, stats = frame_step(state, imgs_prev, imgs_cur, K, kc, cfg)
-    jax.block_until_ready(stats)
+        state, pyr, stats = frame_step(state, pyr, imgs_cur, K, kc, cfg)
+    _ = np.asarray(state.frame)   # state chains through all steps
     dt = time.perf_counter() - t0
     fps = n_iters / dt
     baseline_fps = 15.0

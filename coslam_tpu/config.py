@@ -113,7 +113,7 @@ def small_test_config(num_cameras: int = 1, h: int = 120, w: int = 160) -> SlamC
             max_features=128,
             max_map_points=1024,
             max_keyframes=16,
-            ba_window=4,
+            ba_window=6,
             max_obs_per_ba=2048,
         ),
         p=SlamParams(min_feat_track_len=5, num_act_frames=50,

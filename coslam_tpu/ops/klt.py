@@ -1,20 +1,32 @@
 """Batched coarse-to-fine KLT feature tracker with per-feature gain.
 
 TPU-native re-design of the reference's in-shader KLT (v3d_gpuklt.cpp:99-305
-driving klt_tracker.cg / klt_tracker_with_gain.cg): the Cg version runs the
-whole level/iteration loop inside one fragment shader with features packed
-in a 32x32 RGB-float texture. Here the same math is expressed over a dense
-[C, N] feature batch: every Gauss-Newton iteration samples all features'
-patches at once (four flat gathers), reduces per-patch normal equations on
-the VPU, and solves the per-feature 2x2 (or 3x3 with gain) system in
-closed form. Levels are a static Python loop (shapes differ per level);
-iterations are a lax.fori_loop.
+driving klt_tracker.cg / klt_tracker_with_gain.cg). The GPU reference leans
+on texture units for per-feature bilinear fetches; TPUs have no gather
+hardware (XLA's gather lowering measured ~0.1 elem/cycle — a naive
+gather-based port runs 2.4 s/frame). This implementation restructures the
+data flow around the two things TPUs do well, with features laid out on the
+128-lane axis ([.., .., N] everywhere):
 
-Gain model (klt_tracker_with_gain.cg:42-148): template T ~ g * I with the
-smoothness prior lambda * (g - 1)^2, unknowns (du, dv, dg) per feature.
+1. **Window extraction as one-hot matmuls (MXU).** Once per pyramid level,
+   a [G, G, N] integer-aligned window around each feature is pulled from
+   the image by two one-hot contractions (rows: [G*N, H] @ [H, W]; columns
+   batched over N). One-hot operands make the bf16 matmul exact up to the
+   bf16 image rounding (each output is a single selected pixel).
 
-Invalidation mirrors klt_tracker.cg:113-129: out-of-bounds support,
-non-finite updates, or final SSD above threshold (8-bit intensity scale).
+2. **In-window sampling as static shifts (VPU).** The KLT warp is pure
+   translation, so all (2r+1)^2 sample taps share ONE fractional offset:
+   a patch resample is an integer sub-window select (a chain of D static
+   shift selects — no gathers) followed by a 4-term bilinear combine.
+
+The Gauss-Newton loop is inverse-compositional: the Hessian comes from
+template gradients, fixed per level; each iteration only resamples the
+target patch. Illumination gain (klt_tracker_with_gain.cg:42-148) is
+solved in closed form per iteration: g* = (sum I*T + lam) / (sum I*I + lam)
+(prior pulls g -> 1), avoiding the 3x3 system entirely.
+
+Invalidation mirrors klt_tracker.cg:113-129: out-of-search-range motion,
+out-of-bounds support, or final SSD above threshold.
 """
 
 from __future__ import annotations
@@ -26,8 +38,13 @@ import jax
 import jax.numpy as jnp
 
 from coslam_tpu.config import KLTConfig
-from coslam_tpu.ops.patches import extract_patches, extract_patches_with_grad
+from coslam_tpu.ops.patches import (extract_patches, extract_windows_onehot,
+                                    frac_shift)
 from coslam_tpu.ops.pyramid import Pyramid
+
+# search margin per level (px): integer displacement handled inside one
+# window without re-extraction; coarse-to-fine keeps per-level motion small
+_MARGIN = 6
 
 
 class KLTResult(NamedTuple):
@@ -44,96 +61,133 @@ def _levels_schedule(n_levels: int, level_skip: int) -> list[int]:
     return levels
 
 
-def _track_one_level(img_t, img_c, dx_c, dy_c, pos_t, q, g, cfg: KLTConfig):
-    """One pyramid level for one camera. pos_t: template positions [N, 2]
-    (level coords); q: current target estimates [N, 2]. Returns (q, g, ok)."""
+def _int_subwindow(Wnd: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
+                   S: int, D: int):
+    """Select [S, S, N] sub-windows of [G, G, N] at per-feature integer
+    offsets via D static shift selects per axis (no gathers)."""
+    G = Wnd.shape[0]
+    rows = jnp.zeros((S,) + Wnd.shape[1:], Wnd.dtype)
+    for s in range(D):
+        rows = jnp.where(iy[None, None, :] == s, Wnd[s:s + S, :, :], rows)
+    out = jnp.zeros((S, S, Wnd.shape[2]), Wnd.dtype)
+    for s in range(D):
+        out = jnp.where(ix[None, None, :] == s, rows[:, s:s + S, :], out)
+    return out
+
+
+def _track_level(img_t, img_c, pos_t, q, g, cfg: KLTConfig):
+    """One pyramid level, one camera. pos_t: [N, 2] template positions
+    (level coords); q: [N, 2] current estimates. Returns (q, g, ok, e)."""
+    h, w = img_c.shape
+    N = q.shape[0]
     r = cfg.window_radius
-    T, ok_t = extract_patches(img_t, pos_t, r)          # [N, P]
-    lam = jnp.asarray(cfg.gain_lambda, T.dtype)
+    S = 2 * r + 1
+    G = S + 1 + 2 * _MARGIN            # target window size
+    D = 2 * _MARGIN + 1                # static shift count
+    GT = S + 3                         # template window (patch + grad + lerp)
+    f32 = jnp.float32
+
+    # --- template: T [S,S,N], gradients, fixed Hessian ---
+    bt = jnp.floor(pos_t - r).astype(jnp.int32) - 1
+    bt = jnp.clip(bt, 0, jnp.array([w - GT, h - GT], jnp.int32))
+    Wt = extract_windows_onehot(img_t, bt, GT)
+    ft = pos_t - r - 1 - bt.astype(f32)
+    ftx = jnp.clip(ft[:, 0], 0.0, 1.0)[None, None, :]
+    fty = jnp.clip(ft[:, 1], 0.0, 1.0)[None, None, :]
+    Tbig = frac_shift(Wt, ftx, fty)                 # [S+2, S+2, N]
+    T = Tbig[1:S + 1, 1:S + 1]
+    Tx = 0.5 * (Tbig[1:S + 1, 2:] - Tbig[1:S + 1, :S])
+    Ty = 0.5 * (Tbig[2:, 1:S + 1] - Tbig[:S, 1:S + 1])
+    H11 = jnp.sum(Tx * Tx, (0, 1)) + 1e-4
+    H12 = jnp.sum(Tx * Ty, (0, 1))
+    H22 = jnp.sum(Ty * Ty, (0, 1)) + 1e-4
+    det = H11 * H22 - H12 * H12
+    det = jnp.where(jnp.abs(det) < 1e-8, 1e-8, det)
+
+    # --- target window around the level-start estimate ---
+    b = jnp.floor(q - r).astype(jnp.int32) - _MARGIN
+    b = jnp.clip(b, 0, jnp.array([w - G, h - G], jnp.int32))
+    Wc = extract_windows_onehot(img_c, b, G)
+    lam = jnp.asarray(cfg.gain_lambda, f32)
 
     def body(_, carry):
         q, g, done = carry
-        I, gx, gy, ok = extract_patches_with_grad(img_c, dx_c, dy_c, q, r)
-        e = T - g[:, None] * I                           # residual [N, P]
-        gw = g[:, None]
-        ju, jv = gw * gx, gw * gy
+        s_pos = q - r - b.astype(f32)               # support origin in window
+        i = jnp.floor(s_pos).astype(jnp.int32)
+        in_range = (i[:, 0] >= 0) & (i[:, 0] <= G - S - 2) & \
+                   (i[:, 1] >= 0) & (i[:, 1] <= G - S - 2)
+        ic = jnp.clip(i, 0, G - S - 2)
+        f = s_pos - i.astype(f32)
+        sub = _int_subwindow(Wc, ic[:, 0], ic[:, 1], S + 1, D)
+        I = frac_shift(sub, f[:, 0][None, None, :],
+                        f[:, 1][None, None, :])     # [S, S, N]
         if cfg.track_with_gain:
-            jg = I
-            a11 = jnp.sum(ju * ju, -1)
-            a12 = jnp.sum(ju * jv, -1)
-            a13 = jnp.sum(ju * jg, -1)
-            a22 = jnp.sum(jv * jv, -1)
-            a23 = jnp.sum(jv * jg, -1)
-            a33 = jnp.sum(jg * jg, -1) + lam
-            b1 = jnp.sum(ju * e, -1)
-            b2 = jnp.sum(jv * e, -1)
-            b3 = jnp.sum(jg * e, -1) + lam * (1.0 - g)
-            # closed-form symmetric 3x3 solve (cofactors)
-            c11 = a22 * a33 - a23 * a23
-            c12 = a13 * a23 - a12 * a33
-            c13 = a12 * a23 - a13 * a22
-            c22 = a11 * a33 - a13 * a13
-            c23 = a12 * a13 - a11 * a23
-            c33 = a11 * a22 - a12 * a12
-            det = a11 * c11 + a12 * c12 + a13 * c13
-            det = jnp.where(jnp.abs(det) < 1e-8, 1e-8, det)
-            du = (c11 * b1 + c12 * b2 + c13 * b3) / det
-            dv = (c12 * b1 + c22 * b2 + c23 * b3) / det
-            dg = (c13 * b1 + c23 * b2 + c33 * b3) / det
+            g_new = (jnp.sum(I * T, (0, 1)) + lam) / \
+                    (jnp.sum(I * I, (0, 1)) + lam)
         else:
-            a11 = jnp.sum(ju * ju, -1)
-            a12 = jnp.sum(ju * jv, -1)
-            a22 = jnp.sum(jv * jv, -1)
-            b1 = jnp.sum(ju * e, -1)
-            b2 = jnp.sum(jv * e, -1)
-            det = a11 * a22 - a12 * a12
-            det = jnp.where(jnp.abs(det) < 1e-8, 1e-8, det)
-            du = (a22 * b1 - a12 * b2) / det
-            dv = (a11 * b2 - a12 * b1) / det
-            dg = jnp.zeros_like(du)
-        step = jnp.stack([du, dv], axis=-1)
-        finite = jnp.all(jnp.isfinite(step), -1) & jnp.isfinite(dg) & ok
-        upd = (finite & ~done)[:, None]
-        q = q + jnp.where(upd, step, 0.0)
-        g = g + jnp.where(upd[:, 0], dg, 0.0)
-        done = done | (jnp.linalg.norm(step, axis=-1) < cfg.convergence_threshold)
+            g_new = jnp.ones_like(g)
+        e = T - g_new[None, None, :] * I
+        bx = jnp.sum(Tx * e, (0, 1))
+        by = jnp.sum(Ty * e, (0, 1))
+        du = (H22 * bx - H12 * by) / det
+        dv = (H11 * by - H12 * bx) / det
+        step_ok = in_range & jnp.isfinite(du) & jnp.isfinite(dv) & ~done
+        q = q + jnp.where(step_ok[:, None],
+                          jnp.stack([du, dv], -1), 0.0)
+        g = jnp.where(step_ok, g_new, g)
+        done = done | (jnp.hypot(du, dv) < cfg.convergence_threshold)
         return q, g, done
 
-    done0 = jnp.zeros(q.shape[0], dtype=bool)
+    done0 = jnp.zeros((N,), bool)
     q, g, _ = jax.lax.fori_loop(0, cfg.n_iterations, body, (q, g, done0))
-    return q, g
+    # in-search-range check for validity + final residual for SSD
+    s_pos = q - r - b.astype(f32)
+    i = jnp.floor(s_pos).astype(jnp.int32)
+    ok = (i[:, 0] >= 0) & (i[:, 0] <= G - S - 2) & \
+         (i[:, 1] >= 0) & (i[:, 1] <= G - S - 2)
+    ic = jnp.clip(i, 0, G - S - 2)
+    f = s_pos - i.astype(f32)
+    sub = _int_subwindow(Wc, ic[:, 0], ic[:, 1], S + 1, D)
+    I = frac_shift(sub, f[:, 0][None, None, :], f[:, 1][None, None, :])
+    e = T - g[None, None, :] * I
+    ssd = jnp.sum(e * e, (0, 1))
+    return q, g, ok, ssd
 
 
 def _klt_track_single(pyr_prev: Pyramid, pyr_cur: Pyramid, pos: jnp.ndarray,
                       valid: jnp.ndarray, cfg: KLTConfig) -> KLTResult:
     """One camera. pos: [N, 2] full-res positions in the previous frame."""
     levels = _levels_schedule(len(pyr_prev.imgs), cfg.level_skip)
+    # drop levels whose image is smaller than the search window (the ±margin
+    # at the next finer level still covers the motion those levels would)
+    r = cfg.window_radius
+    G = 2 * r + 2 + 2 * _MARGIN
+    levels = [l for l in levels
+              if min(pyr_cur.imgs[l].shape) >= G + 2 or l == 0]
     top = levels[0]
     q = pos * (0.5 ** top)
     g = jnp.ones(pos.shape[0], dtype=pos.dtype)
+    ok = valid
     prev_l = top
-    # Coarse levels sample with clamping and never invalidate (small coarse
-    # images can't hold a full patch support); only the finest level gates.
+    ssd = jnp.zeros(pos.shape[0], pos.dtype)
     for li, l in enumerate(levels):
         if li > 0:
             q = q * (2.0 ** (prev_l - l))
         pos_t = pos * (0.5 ** l)
-        q, g = _track_one_level(
-            pyr_prev.imgs[l], pyr_cur.imgs[l], pyr_cur.dxs[l], pyr_cur.dys[l],
-            pos_t, q, g, cfg)
+        q, g, ok_l, ssd = _track_level(
+            pyr_prev.imgs[l], pyr_cur.imgs[l], pos_t, q, g, cfg)
+        # only the finest level's search-range check gates validity: coarse
+        # levels clip their windows near borders (tiny images) and would
+        # spuriously kill features that level 0 tracks fine
+        if l == 0:
+            ok = ok & ok_l
         prev_l = l
-    # final SSD at level 0 (8-bit scale, sum over the window)
-    r = cfg.window_radius
-    T, ok_t = extract_patches(pyr_prev.imgs[0], pos, r)
-    I, ok_c = extract_patches(pyr_cur.imgs[0], q, r)
-    ok = valid & ok_t & ok_c
-    e = T - g[:, None] * I
-    ssd = jnp.sum(e * e, axis=-1)
     h, w = pyr_cur.imgs[0].shape
-    b = float(cfg.border)
-    in_border = ((q[:, 0] >= b) & (q[:, 0] <= w - 1 - b)
-                 & (q[:, 1] >= b) & (q[:, 1] <= h - 1 - b))
-    ok = ok & in_border & (ssd < cfg.ssd_threshold) & jnp.all(jnp.isfinite(q), -1)
+    bdr = float(cfg.border)
+    in_border = ((q[:, 0] >= bdr) & (q[:, 0] <= w - 1 - bdr)
+                 & (q[:, 1] >= bdr) & (q[:, 1] <= h - 1 - bdr))
+    ok = ok & in_border & (ssd < cfg.ssd_threshold) & \
+        jnp.all(jnp.isfinite(q), -1)
     return KLTResult(pos=q, valid=ok, ssd=ssd, gain=g)
 
 

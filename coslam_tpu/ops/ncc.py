@@ -14,15 +14,30 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from coslam_tpu.ops.patches import extract_patches
+from coslam_tpu.ops.patches import extract_windows_onehot, frac_shift
 
 NCC_INVALID = -2.0
 
 
 def extract_ncc_blocks(img: jnp.ndarray, pos: jnp.ndarray, radius: int = 5):
     """img: [H, W]; pos: [N, 2]. Returns (blocks [N, (2r+1)^2] normalized,
-    valid [N]). Invalid blocks are zeroed (contribute NCC 0)."""
-    raw, ok = extract_patches(img, pos, radius)
+    valid [N]). Invalid blocks are zeroed (contribute NCC 0).
+
+    Uses the one-hot-matmul window extraction (gather-free, MXU) — the
+    gather-based version dominated the mapping stage at ~13 ms/frame."""
+    h, w = img.shape
+    S = 2 * radius + 1
+    base = jnp.floor(pos - radius).astype(jnp.int32)
+    basec = jnp.clip(base, 0, jnp.array([w - S - 1, h - S - 1], jnp.int32))
+    Wnd = extract_windows_onehot(img, basec, S + 1)      # [S+1, S+1, N]
+    f = pos - radius - basec.astype(pos.dtype)
+    fx = jnp.clip(f[:, 0], 0.0, 1.0)[None, None, :]
+    fy = jnp.clip(f[:, 1], 0.0, 1.0)[None, None, :]
+    raw = frac_shift(Wnd, fx, fy)                        # [S, S, N]
+    raw = raw.reshape(S * S, -1).T                       # [N, S*S]
+    ok = ((pos[:, 0] >= radius) & (pos[:, 1] >= radius)
+          & (pos[:, 0] <= w - 1.001 - radius)
+          & (pos[:, 1] <= h - 1.001 - radius))
     mean = jnp.mean(raw, axis=-1, keepdims=True)
     cen = raw - mean
     norm = jnp.linalg.norm(cen, axis=-1, keepdims=True)

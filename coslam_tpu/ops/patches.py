@@ -71,3 +71,58 @@ def extract_patches_with_grad(img, dx, dy, centers, radius: int):
     gx, _ = sample_bilinear(dx, pts)
     gy, _ = sample_bilinear(dy, pts)
     return vals, gx, gy, jnp.all(ok, axis=-1)
+
+
+def _split_bf16_dot(a32: jnp.ndarray, sel: jnp.ndarray, dims) -> jnp.ndarray:
+    """dot_general(a32, sel) where ``sel`` is exact one-hot bf16 and a32 is
+    f32: split a32 into hi + lo bf16 parts so the selected values come back
+    f32-accurate (~2^-16 relative) at 2x bf16 matmul cost — far cheaper
+    than a 6-pass 'highest' f32 matmul."""
+    hi = a32.astype(jnp.bfloat16)
+    lo = (a32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    kw = dict(dimension_numbers=dims, preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.DEFAULT)
+    return (jax.lax.dot_general(hi, sel, **kw)
+            + jax.lax.dot_general(lo, sel, **kw))
+
+
+def extract_windows_onehot(img: jnp.ndarray, base: jnp.ndarray,
+                           G: int) -> jnp.ndarray:
+    """img: [H, W]; base: [N, 2] int32 (x0, y0) window origins (clamped by
+    caller). Returns [G, G, N] windows, out[g1, g2, n] = img[y0+g1, x0+g2].
+
+    Two one-hot contractions on the MXU; hi/lo-split bf16 keeps the
+    selected pixel values f32-accurate (bf16-rounded images cost ~0.05 px
+    of KLT subpixel accuracy, measured as a 1.4x worse ATE).
+    """
+    h, w = img.shape
+    N = base.shape[0]
+    bx, by = base[:, 0], base[:, 1]
+    rows = (jnp.arange(h, dtype=jnp.int32)[None, None, :]
+            == (by[None, :, None] + jnp.arange(G, dtype=jnp.int32)[:, None, None]))
+    rowsel = rows.astype(jnp.bfloat16)                # [G, N, H]
+    A = _split_bf16_dot(
+        img, rowsel.reshape(G * N, h),
+        (((0,), (1,)), ((), ())))                     # [W, G*N]
+    A = A.T.reshape(G, N, w)
+    cols = (jnp.arange(w, dtype=jnp.int32)[None, None, :]
+            == (bx[None, :, None] + jnp.arange(G, dtype=jnp.int32)[:, None, None]))
+    colsel = cols.astype(jnp.bfloat16)                # [G2, N, W]
+    # out[g1, g2, n] = sum_w A[g1, n, w] * colsel[g2, n, w]  (batch over n)
+    out = _split_bf16_dot(
+        A.transpose(1, 0, 2), colsel.transpose(1, 0, 2),
+        (((2,), (2,)), ((0,), (0,))))                 # [N, G, G2]
+    return out.transpose(1, 2, 0)                     # [G, G2, N]
+
+
+def frac_shift(Wnd: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray):
+    """Bilinear shift of [A, B, N] by per-feature fraction (fx, fy) in
+    [0, 1): returns [A-1, B-1, N]."""
+    w00 = (1 - fx) * (1 - fy)
+    w01 = fx * (1 - fy)
+    w10 = (1 - fx) * fy
+    w11 = fx * fy
+    return (Wnd[:-1, :-1] * w00 + Wnd[:-1, 1:] * w01
+            + Wnd[1:, :-1] * w10 + Wnd[1:, 1:] * w11)
+
+

@@ -33,13 +33,12 @@ class FrameStats(NamedTuple):
     n_tracked: jnp.ndarray   # [C]
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def frame_step(state: SlamState, imgs_prev: jnp.ndarray,
-               imgs_cur: jnp.ndarray, K: jnp.ndarray, kc: jnp.ndarray,
-               cfg: SlamConfig):
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def frame_step(state: SlamState, pyr_prev, imgs_cur: jnp.ndarray,
+               K: jnp.ndarray, kc: jnp.ndarray, cfg: SlamConfig):
     """One tracked frame: track -> pose -> refine -> map. Returns
-    (state', FrameStats). ``imgs_*``: [C, H, W] f32."""
-    pyr_prev = build_pyramid(imgs_prev, cfg.klt.n_levels)
+    (state', pyr_cur, FrameStats). The previous frame's pyramid is carried
+    between calls (building it once per frame, not twice)."""
     pyr_cur = build_pyramid(imgs_cur, cfg.klt.n_levels)
     img_hw = (imgs_cur.shape[1], imgs_cur.shape[2])
     tracks = steps.advance_tracks(pyr_prev, pyr_cur, state.tracks, K, kc,
@@ -55,4 +54,4 @@ def frame_step(state: SlamState, imgs_prev: jnp.ndarray,
         n_inliers=out.n_inliers, coverage=out.coverage,
         med_depth=out.med_depth, med_err=out.med_err,
         n_new_points=n_new, n_tracked=jnp.sum(tracks2.valid, axis=1))
-    return state, stats
+    return state, pyr_cur, stats

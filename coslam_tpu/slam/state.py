@@ -51,6 +51,8 @@ class TrackTable(NamedTuple):
 class MapPoints(NamedTuple):
     xyz: jnp.ndarray         # [P, 3]
     cov: jnp.ndarray         # [P, 3, 3]
+    gen: jnp.ndarray         # [P] i32 slot generation (bumped on realloc, so
+                             #  stale keyframe observations can be rejected)
     status: jnp.ndarray      # [P] i32 (ST_*)
     ptype: jnp.ndarray       # [P] i32 (PT_*)
     first_frame: jnp.ndarray  # [P] i32
@@ -68,6 +70,7 @@ class KeyframeStore(NamedTuple):
     t: jnp.ndarray        # [KF, C, 3]
     obs_pos: jnp.ndarray  # [KF, C, N, 2] undistorted px at the keyframe
     obs_mpt: jnp.ndarray  # [KF, C, N] i32 map binding at the keyframe
+    obs_gen: jnp.ndarray  # [KF, C, N] i32 map-slot generation at snapshot
     n: jnp.ndarray        # scalar i32: total keyframes ever written
 
 
@@ -107,6 +110,7 @@ def init_state(cfg: SlamConfig) -> SlamState:
     mappts = MapPoints(
         xyz=jnp.zeros((P, 3), f32),
         cov=jnp.zeros((P, 3, 3), f32),
+        gen=jnp.zeros((P,), i32),
         status=jnp.zeros((P,), i32),
         ptype=jnp.zeros((P,), i32),
         first_frame=jnp.zeros((P,), i32),
@@ -119,6 +123,7 @@ def init_state(cfg: SlamConfig) -> SlamState:
         t=jnp.zeros((KF, C, 3), f32),
         obs_pos=jnp.zeros((KF, C, N, 2), f32),
         obs_mpt=jnp.full((KF, C, N), -1, i32),
+        obs_gen=jnp.zeros((KF, C, N), i32),
         n=jnp.zeros((), i32))
     return SlamState(
         frame=jnp.zeros((), i32),

@@ -323,6 +323,7 @@ def new_map_points(state: SlamState, pyr_cur: Pyramid, K: jnp.ndarray,
     slot = jnp.where(can, slot, P)                  # P = drop
     xyz = mappts.xyz.at[slot].set(flat_X, mode="drop")
     cov = mappts.cov.at[slot].set(flat_cov, mode="drop")
+    gen = mappts.gen.at[slot].add(1, mode="drop")   # invalidate stale kf obs
     status = mappts.status.at[slot].set(ST_ALIVE, mode="drop")
     ptype = mappts.ptype.at[slot].set(PT_STATIC, mode="drop")
     first_frame = mappts.first_frame.at[slot].set(frame, mode="drop")
@@ -335,7 +336,7 @@ def new_map_points(state: SlamState, pyr_cur: Pyramid, K: jnp.ndarray,
                                                       mode="drop")
     mpt = jnp.where((slot < P).reshape(C, N), slot.reshape(C, N), tracks.mpt)
     tracks = tracks._replace(mpt=mpt)
-    mappts = MapPoints(xyz=xyz, cov=cov, status=status, ptype=ptype,
+    mappts = MapPoints(xyz=xyz, cov=cov, gen=gen, status=status, ptype=ptype,
                        first_frame=first_frame, last_obs=last_obs,
                        ncc=ncc, ncc_valid=ncc_valid)
     return mappts, tracks, jnp.sum(can)
@@ -351,6 +352,7 @@ def add_keyframe(state: SlamState) -> KeyframeStore:
     KF = kfs.frame.shape[0]
     w = jnp.mod(kfs.n, KF)
     mapped = state.tracks.valid & (state.tracks.mpt >= 0)
+    mi = jnp.clip(state.tracks.mpt, 0)
     return KeyframeStore(
         frame=kfs.frame.at[w].set(state.frame),
         R=kfs.R.at[w].set(state.R),
@@ -358,6 +360,7 @@ def add_keyframe(state: SlamState) -> KeyframeStore:
         obs_pos=kfs.obs_pos.at[w].set(state.tracks.pos),
         obs_mpt=kfs.obs_mpt.at[w].set(
             jnp.where(mapped, state.tracks.mpt, -1)),
+        obs_gen=kfs.obs_gen.at[w].set(state.mappts.gen[mi]),
         n=kfs.n + 1)
 
 
@@ -380,8 +383,10 @@ def build_ba_problem(state: SlamState, K: jnp.ndarray,
     tw = kfs.t[ring]
     obs_pos = kfs.obs_pos[ring]                     # [W,C,N,2]
     obs_mpt = kfs.obs_mpt[ring]                     # [W,C,N]
+    obs_gen = kfs.obs_gen[ring]                     # [W,C,N]
     mi = jnp.clip(obs_mpt, 0)
-    pt_ok = (mappts.status[mi] == ST_ALIVE) & (mappts.ptype[mi] == PT_STATIC)
+    pt_ok = (mappts.status[mi] == ST_ALIVE) & (mappts.ptype[mi] == PT_STATIC) \
+        & (mappts.gen[mi] == obs_gen)               # reject recycled slots
     obs_valid = (obs_mpt >= 0) & pt_ok & kf_ok[:, None, None]
     O = W * C * N
     obs_cam = jnp.broadcast_to(
