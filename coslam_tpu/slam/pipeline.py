@@ -70,6 +70,8 @@ class CoSlamEngine:
         stats = {"frame": self.frame}
         if self.frame == 0:
             self._first_frame(pyr)
+            if cfg.num_cameras > 1:
+                stats["bootstrap"] = self._bootstrap_multicam(pyr)
         else:
             self.state = self.state._replace(
                 tracks=steps.advance_tracks(
@@ -77,9 +79,10 @@ class CoSlamEngine:
                     self.state.frame + 1, cfg),
                 frame=self.state.frame + 1)
             if not self.bootstrapped:
-                if self.frame >= cfg.p.init_frames:
-                    ok = self._bootstrap(pyr)
-                    stats["bootstrap"] = bool(ok)
+                if cfg.num_cameras > 1:
+                    stats["bootstrap"] = self._bootstrap_multicam(pyr)
+                elif self.frame >= cfg.p.init_frames:
+                    stats["bootstrap"] = self._bootstrap(pyr)
             else:
                 stats.update(self._tracked_frame(pyr))
         self._record_pose()
@@ -102,6 +105,43 @@ class CoSlamEngine:
             jnp.full(det.valid.shape, -1, jnp.int32), self.K, self.kc,
             jnp.zeros((), jnp.int32))
         self.state = self.state._replace(tracks=tracks)
+
+    # ------------------------------------------------------------------
+    def _bootstrap_multicam(self, pyr) -> bool:
+        """Wide-baseline bootstrap between cameras at (or near) frame 0
+        (initMapMultiCam, SL_CoSLAM.cpp:221-298)."""
+        from coslam_tpu.slam.initmap import init_map_multicam
+        cfg = self.cfg
+        st = self.state
+        res = init_map_multicam(cfg, np.asarray(self.K), np.asarray(self.kc),
+                                pyr, st.tracks.pos, np.asarray(st.tracks.valid))
+        if not res.ok:
+            return False
+        C, N = st.tracks.valid.shape
+        P = st.mappts.xyz.shape[0]
+        M = res.X.shape[0]
+        mappts = st.mappts._replace(
+            xyz=st.mappts.xyz.at[:M].set(jnp.asarray(res.X)),
+            cov=st.mappts.cov.at[:M].set(jnp.asarray(res.cov)),
+            status=st.mappts.status.at[:M].set(ST_ALIVE),
+            ptype=st.mappts.ptype.at[:M].set(PT_STATIC),
+            first_frame=st.mappts.first_frame.at[:M].set(st.frame),
+            last_obs=st.mappts.last_obs.at[:M].set(st.frame))
+        mpt = np.full((C, N), -1, np.int32)
+        for c in range(C):
+            has = res.obs_slot[:, c] >= 0
+            mpt[c, res.obs_slot[has, c]] = np.nonzero(has)[0]
+        tracks = st.tracks._replace(mpt=jnp.asarray(mpt))
+        state = st._replace(
+            tracks=tracks, mappts=mappts,
+            R=jnp.asarray(res.Rs), t=jnp.asarray(res.ts))
+        state = steps.push_pose_history(state)
+        state = state._replace(kfs=steps.add_keyframe(state))
+        self.state = state
+        self.bootstrapped = True
+        self.kf_frames = [self.frame]
+        self._kf_inliers = np.full(C, float(M))
+        return True
 
     # ------------------------------------------------------------------
     def _bootstrap(self, pyr) -> bool:
