@@ -67,8 +67,8 @@ class SlamParams:
     maha_outlier: float = 6.0        # pose-update outlier gate
     min_static_for_ok: int = 40      # interCamPoseUpdate trigger (SL_CoSLAM.cpp:308-349)
     min_static_cover: float = 0.25   # min image coverage of static points
-    keyframe_min_interval: int = 5   # frames between keyframes
-    keyframe_trans_ratio: float = 0.02   # translation / scene-depth trigger
+    keyframe_min_interval: int = 3   # frames between keyframes
+    keyframe_trans_ratio: float = 0.01   # translation / scene-depth trigger
     keyframe_angle_deg: float = 5.0      # view-angle-change trigger
     intercam_map_interval: int = 3   # genNewMapPointsInterCam cadence
     merge_min_interval: int = 130    # frames between merge attempts (SL_CoSLAM.cpp:1381)
@@ -117,5 +117,6 @@ def small_test_config(num_cameras: int = 1, h: int = 120, w: int = 160) -> SlamC
             max_obs_per_ba=2048,
         ),
         p=SlamParams(min_feat_track_len=5, num_act_frames=50,
-                     classify_frame_window=20),
+                     classify_frame_window=20, min_static_for_ok=15,
+                     min_static_cover=0.12),
     )

@@ -134,6 +134,20 @@ def project_to_so3(M: jnp.ndarray) -> jnp.ndarray:
     return (U * D[..., None, :]) @ Vt
 
 
+def orthonormalize_fast(R: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
+    """Cheap Newton re-orthonormalization: R <- R (3I - R^T R) / 2.
+
+    Quadratic convergence for near-orthonormal input — repeated f32
+    rotation composition (LM updates, BA corrections, history rotations)
+    drifts off SO(3) multiplicatively (observed 5e-2 after ~50 frames of
+    chained solves); every solver output passes through this.
+    """
+    eye3 = 3.0 * jnp.eye(3, dtype=R.dtype)
+    for _ in range(iters):
+        R = 0.5 * R @ (eye3 - jnp.swapaxes(R, -1, -2) @ R)
+    return R
+
+
 def compose(Ra, ta, Rb, tb):
     """(Ra,ta) after (Rb,tb): x -> Ra(Rb x + tb) + ta."""
     return Ra @ Rb, jnp.einsum("...ij,...j->...i", Ra, tb) + ta

@@ -1,0 +1,174 @@
+"""Static/dynamic/false/uncertain map-point classification and dynamic
+feature detection.
+
+Replaces the reference's classification machinery:
+  - ``detectDynamicFeaturePoints`` — per-feature epipolar voting over the
+    track history (SL_SingleSLAM.cpp:784-823): a feature on a static
+    point must satisfy the epipolar constraint against every past pose;
+    persistent violations vote the feature dynamic.
+  - ``mapPointsClassify`` state machine (SL_CoSLAM.cpp:418-514) built on
+    ``isStaticPoint/isDynamicPoint/isStaticRemovable/isLittleMove``
+    (SL_CoSLAMHelper.cpp:253-315): multi-view re-triangulation from the
+    CURRENT frame only, Mahalanobis gating of every view, and a
+    moved-vs-stored test deciding static vs dynamic; persistent
+    inconsistency -> false.
+  - ``updateDynamicPointPosition`` — dynamic points take the current-frame
+    triangulation every frame (the paper's dynamic-point mechanism).
+
+All tests run batched over the whole [P] map and [C, T, N] history —
+the reference's per-point loops become masked tensor ops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from coslam_tpu.config import SlamConfig
+from coslam_tpu.geometry.camera import (pixel_to_normalized, project_points)
+from coslam_tpu.geometry.epipolar import fundamental_from_poses
+from coslam_tpu.geometry.triangulate import (triangulate_multiview,
+                                             triangulation_cov)
+from coslam_tpu.slam.state import (SlamState, MapPoints, ST_ALIVE, ST_FALSE,
+                                   PT_STATIC, PT_DYNAMIC, PT_UNCERTAIN)
+
+
+def point_obs_table(tracks, P: int):
+    """Invert the track->map binding: returns (slot [P, C] feature index or
+    -1, obs_px [P, C, 2], obs_ok [P, C]) — the MapPoint::pFeatures view."""
+    C, N = tracks.valid.shape
+    mapped = tracks.valid & (tracks.mpt >= 0)
+    tgt = jnp.where(mapped, tracks.mpt, P)            # P = dropped
+    slot = jnp.full((P, C), -1, jnp.int32)
+    cam_ids = jnp.broadcast_to(jnp.arange(C)[:, None], (C, N))
+    feat_ids = jnp.broadcast_to(jnp.arange(N)[None, :], (C, N))
+    slot = slot.at[tgt, cam_ids].set(feat_ids, mode="drop")
+    obs_ok = slot >= 0
+    sl = jnp.clip(slot, 0)
+    obs_px = tracks.pos[jnp.arange(C)[None, :], sl]       # [P, C, 2]
+    return slot, obs_px, obs_ok
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def detect_dynamic_features(state: SlamState, K: jnp.ndarray,
+                            cfg: SlamConfig):
+    """Epipolar voting over the rolling history. Returns updated tracks
+    (dyn_votes incremented for features violating the static-world
+    epipolar constraint against past poses)."""
+    tracks = state.tracks
+    C, T, N = tracks.hist_valid.shape
+    p = cfg.p
+    frame = state.frame
+    k_off = jnp.arange(T)
+    past_frame = frame - k_off
+    ring = jnp.mod(past_frame, T)
+    hist_pos = jnp.take(tracks.hist, ring, axis=1)        # [C,T,N,2]
+    ages = jnp.minimum(tracks.age - 1, T - 1)
+    hist_ok = jnp.take(tracks.hist_valid, ring, axis=1) & \
+        (k_off[None, :, None] >= 2) & (k_off[None, :, None] <= ages[:, None]) \
+        & (past_frame[None, :, None] >= 0)
+    Rp = jnp.take(state.pose_hist_R, ring, axis=1)        # [C,T,3,3]
+    tp = jnp.take(state.pose_hist_t, ring, axis=1)
+    # F from past pose -> current pose, pixel space: [C, T, 3, 3]
+    F = fundamental_from_poses(K[:, None], Rp, tp,
+                               K[:, None], state.R[:, None],
+                               state.t[:, None])
+    # epipolar distance of (hist point, current point) under F
+    x1 = jnp.concatenate([hist_pos,
+                          jnp.ones_like(hist_pos[..., :1])], -1)  # [C,T,N,3]
+    x2 = jnp.concatenate([tracks.pos, jnp.ones_like(tracks.pos[..., :1])],
+                         -1)                                       # [C,N,3]
+    l2 = jnp.einsum("ctij,ctnj->ctni", F, x1)             # lines in current
+    num = jnp.abs(jnp.einsum("ctni,cni->ctn", l2, x2))
+    den = jnp.maximum(jnp.linalg.norm(l2[..., :2], axis=-1), 1e-9)
+    d = num / den                                          # [C,T,N]
+    viol = hist_ok & (d > p.max_epi_err)
+    n_checks = jnp.sum(hist_ok, axis=1)
+    n_viol = jnp.sum(viol, axis=1)
+    # a feature is voted dynamic this frame if >=50% of its history checks
+    # violate the epipolar constraint (and it has enough history)
+    vote = (n_checks >= 3) & (n_viol * 2 > n_checks)
+    dyn_votes = jnp.where(tracks.valid,
+                          jnp.where(vote, tracks.dyn_votes + 1,
+                                    jnp.maximum(tracks.dyn_votes - 1, 0)),
+                          0)
+    return state._replace(tracks=tracks._replace(dyn_votes=dyn_votes))
+
+
+class ClassifyOut(NamedTuple):
+    mappts: MapPoints
+    n_static: jnp.ndarray
+    n_dynamic: jnp.ndarray
+    n_false: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def classify_map_points(state: SlamState, K: jnp.ndarray,
+                        cfg: SlamConfig) -> ClassifyOut:
+    """The mapPointsClassify state machine over the whole map."""
+    tracks, mappts = state.tracks, state.mappts
+    C, N = tracks.valid.shape
+    P = mappts.xyz.shape[0]
+    p = cfg.p
+    alive = mappts.status == ST_ALIVE
+    slot, obs_px, obs_ok = point_obs_table(tracks, P)
+    nv = jnp.sum(obs_ok, axis=1)                           # [P]
+    # current-frame multi-view re-triangulation (isDynamicPoint test)
+    xn = pixel_to_normalized(obs_px, K[None])              # [P, C, 2]
+    Rb = jnp.broadcast_to(state.R[None], (P, C, 3, 3))
+    tb = jnp.broadcast_to(state.t[None], (P, C, 3))
+    X_cur = triangulate_multiview(Rb, tb, xn, obs_ok)
+    pr = project_points(K[None], Rb, tb, X_cur[:, None])
+    err = jnp.linalg.norm(pr - obs_px, axis=-1)            # [P, C]
+    err = jnp.where(obs_ok, err, 0.0)
+    max_err = jnp.max(err, axis=1)
+    z = jnp.einsum("pcj,pj->pc", Rb[:, :, 2, :], X_cur) + tb[..., 2]
+    depth_ok = jnp.all(jnp.where(obs_ok, z > 1e-3, True), axis=1)
+    tri_ok = (nv >= 2) & depth_ok & (max_err < p.max_err) & \
+        jnp.all(jnp.isfinite(X_cur), axis=1)
+    # moved test (isLittleMove): displacement vs stored position, gated by
+    # the stored covariance scale
+    disp = jnp.linalg.norm(X_cur - mappts.xyz, axis=1)
+    cov_scale = jnp.sqrt(jnp.clip(
+        jnp.trace(mappts.cov, axis1=1, axis2=2), 1e-6, None))
+    moved = disp > jnp.maximum(4.0 * cov_scale, 0.05 * p.bootstrap_depth)
+    # feature-level dynamic votes: any bound feature voted dynamic
+    feat_dyn = jnp.zeros((P,), bool)
+    mapped = tracks.valid & (tracks.mpt >= 0)
+    dyn_feat = mapped & (tracks.dyn_votes >= 3)
+    feat_dyn = feat_dyn.at[jnp.where(dyn_feat, tracks.mpt, P)].set(
+        True, mode="drop")
+
+    is_dynamic = alive & tri_ok & (moved | feat_dyn)
+    is_static_ok = alive & tri_ok & ~moved & ~feat_dyn
+    is_incons = alive & (nv >= 2) & ~tri_ok
+    # single-view points with dynamic-voting features become uncertain
+    single_dyn = alive & (nv < 2) & feat_dyn
+
+    ptype = mappts.ptype
+    ptype = jnp.where(is_dynamic, PT_DYNAMIC, ptype)
+    # once dynamic, a point stays dynamic (its trajectory is the signal);
+    # consistently-static uncertain points are re-promoted
+    ptype = jnp.where(is_static_ok & (ptype == PT_UNCERTAIN), PT_STATIC, ptype)
+    ptype = jnp.where(single_dyn & (ptype == PT_STATIC), PT_UNCERTAIN, ptype)
+    # dynamic points take the current triangulation every frame
+    xyz = jnp.where(is_dynamic[:, None], X_cur, mappts.xyz)
+    cov_dyn = triangulation_cov(
+        jnp.broadcast_to(K[None], (P, C, 3, 3)), Rb, tb, X_cur, obs_ok,
+        pixel_var=p.pixel_err_var)
+    cov = jnp.where(is_dynamic[:, None, None], cov_dyn, mappts.cov)
+    # persistent inconsistency -> false (the setFalse path)
+    bad = jnp.where(is_incons, mappts.bad_votes + 1,
+                    jnp.where(is_static_ok | is_dynamic, 0,
+                              mappts.bad_votes))
+    status = jnp.where(alive & (bad >= 3), ST_FALSE, mappts.status)
+    mappts = mappts._replace(xyz=xyz, cov=cov, ptype=ptype, status=status,
+                             bad_votes=bad)
+    n_static = jnp.sum((mappts.status == ST_ALIVE) & (ptype == PT_STATIC))
+    n_dynamic = jnp.sum((mappts.status == ST_ALIVE) & (ptype == PT_DYNAMIC))
+    n_false = jnp.sum(status == ST_FALSE)
+    return ClassifyOut(mappts=mappts, n_static=n_static,
+                       n_dynamic=n_dynamic, n_false=n_false)

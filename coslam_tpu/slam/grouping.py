@@ -1,0 +1,89 @@
+"""Camera grouping: view-overlap costs + connected components.
+
+Replaces ``CoSLAM::cameraGrouping`` (SL_CoSLAM.cpp:1632-1697) with
+``getViewOverlapCosts`` (:1543-1630, shared-point convex hulls) and
+LibVisualSLAM ``findConnectedComponents``. The overlap statistic here is
+the shared-map-point count weighted by the shared points' image coverage
+(bounding-box fraction — a cheap stand-in for the reference's convex-hull
+area that behaves the same for grouping thresholds). Group membership is
+tiny host data; the counts come from one device reduction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from coslam_tpu.config import SlamConfig
+from coslam_tpu.slam.classify import point_obs_table
+from coslam_tpu.slam.state import SlamState, ST_ALIVE
+
+
+@jax.jit
+def view_overlap_counts(state: SlamState):
+    """[C, C] shared alive-map-point counts + [C, C] coverage fraction of
+    the shared points in each camera's image."""
+    tracks, mappts = state.tracks, state.mappts
+    C, N = tracks.valid.shape
+    P = mappts.xyz.shape[0]
+    slot, obs_px, obs_ok = point_obs_table(tracks, P)
+    alive = mappts.status == ST_ALIVE
+    ok = obs_ok & alive[:, None]                     # [P, C]
+    shared = jnp.einsum("pi,pj->ij", ok.astype(jnp.float32),
+                        ok.astype(jnp.float32))
+    # coverage of shared points (bbox area fraction, computed per pair in
+    # camera i's image)
+    x = obs_px[..., 0]
+    y = obs_px[..., 1]
+    pair_ok = ok[:, :, None] & ok[:, None, :]        # [P, C, C]
+    big = 1e9
+    xmin = jnp.min(jnp.where(pair_ok, x[:, :, None], big), axis=0)
+    xmax = jnp.max(jnp.where(pair_ok, x[:, :, None], -big), axis=0)
+    ymin = jnp.min(jnp.where(pair_ok, y[:, :, None], big), axis=0)
+    ymax = jnp.max(jnp.where(pair_ok, y[:, :, None], -big), axis=0)
+    area = jnp.clip(xmax - xmin, 0) * jnp.clip(ymax - ymin, 0)
+    return shared, area
+
+
+def camera_grouping(state: SlamState, cfg: SlamConfig,
+                    min_shared: int = 20,
+                    min_cover: float = 0.2) -> np.ndarray:
+    """Returns [C] group ids (connected components of the overlap graph)."""
+    C = cfg.num_cameras
+    shared, area = jax.tree_util.tree_map(np.asarray,
+                                          view_overlap_counts(state))
+    img_area = float(cfg.image_height * cfg.image_width)
+    # union-find over edges
+    parent = list(range(C))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(C):
+        for j in range(i + 1, C):
+            cover = min(area[i, j], area[j, i]) / img_area
+            if shared[i, j] >= min_shared and cover >= min_cover:
+                parent[find(i)] = find(j)
+    roots = {}
+    gid = np.zeros(C, np.int32)
+    for c in range(C):
+        r = find(c)
+        if r not in roots:
+            roots[r] = len(roots)
+        gid[c] = roots[r]
+    return gid
+
+
+def group_adjacent_pairs(group_id: np.ndarray) -> list[tuple[int, int]]:
+    """Adjacent camera pairs within each group (inter-camera mapping runs
+    pairwise along the group order, SL_NewMapPointsInterCam.cpp:98-148)."""
+    pairs = []
+    for g in np.unique(group_id):
+        cams = np.nonzero(group_id == g)[0]
+        for k in range(len(cams) - 1):
+            pairs.append((int(cams[k]), int(cams[k + 1])))
+    return pairs

@@ -23,7 +23,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os
+
 from coslam_tpu.config import SlamConfig
+
+_DEBUG = bool(os.environ.get("COSLAM_DEBUG"))
+
+
+def _dbg(*a):
+    if _DEBUG:
+        print("[initmap]", *a, flush=True)
 from coslam_tpu.geometry import camera as cam
 from coslam_tpu.geometry import epipolar
 from coslam_tpu.geometry.pnp import ransac_pnp
@@ -173,16 +182,18 @@ def init_map_multicam(cfg: SlamConfig, K, kc, pyr, pos, valid) -> InitMapResult:
     obs = _chain_tracks(order, matches, N)
     if obs.shape[0] < 30:
         return fail
-    cfirst, clast = order[0], order[-1]
-    # E-matrix between the order ends on end-to-end tracks
-    end_rows = (obs[:, cfirst] >= 0) & (obs[:, clast] >= 0)
-    if end_rows.sum() < 20:
-        return fail
     pos_np = np.asarray(pos)
     xn = [np.asarray(cam.normalize_points(pos[c], K[c], kc[c]))
           for c in range(C)]
-    x1 = xn[cfirst][obs[end_rows, cfirst]]
-    x2 = xn[clast][obs[end_rows, clast]]
+    # seed pair = the best-matched pair (more robust than the order ends
+    # when wide-baseline chains are scarce)
+    ci, cj = np.unravel_index(np.argmax(counts), counts.shape)
+    ci, cj = int(min(ci, cj)), int(max(ci, cj))
+    pair_rows = (obs[:, ci] >= 0) & (obs[:, cj] >= 0)
+    if pair_rows.sum() < 16:
+        return fail
+    x1 = xn[ci][obs[pair_rows, ci]]
+    x2 = xn[cj][obs[pair_rows, cj]]
     M0 = x1.shape[0]
     pad = max(0, 64 - M0 % 64) if M0 % 64 else 0
     x1p = np.pad(x1, ((0, pad), (0, 0)))
@@ -194,9 +205,9 @@ def init_map_multicam(cfg: SlamConfig, K, kc, pyr, pos, valid) -> InitMapResult:
         jnp.asarray(maskp), num_hypotheses=512, thresh=3e-5)
     R_end, t_end, Xe, good = epipolar.recover_pose_from_essential(
         res.F, jnp.asarray(x1p), jnp.asarray(x2p), res.inliers)
-    if int(jnp.sum(good)) < 20:
+    if int(jnp.sum(good)) < 12:
         return fail
-    # scale anchor: median depth in the first camera
+    # scale anchor: median depth in the seed camera
     med_z = float(jnp.nanmedian(jnp.where(good, Xe[:, 2], jnp.nan)))
     if not np.isfinite(med_z) or med_z <= 0:
         return fail
@@ -204,32 +215,80 @@ def init_map_multicam(cfg: SlamConfig, K, kc, pyr, pos, valid) -> InitMapResult:
     Xe = np.asarray(Xe) * s
     Rs = np.zeros((C, 3, 3), np.float32)
     ts = np.zeros((C, 3), np.float32)
-    Rs[cfirst] = np.eye(3)
-    Rs[clast] = np.asarray(R_end)
-    ts[clast] = np.asarray(t_end) * s
-    # seed points from the end pair (first-camera frame = world)
+    Rs[ci] = np.eye(3)
+    Rs[cj] = np.asarray(R_end)
+    ts[cj] = np.asarray(t_end) * s
+    # incremental PnP: seed points -> pose remaining cameras in order of
+    # support, re-triangulating over all posed cameras as we go
     good_np = np.asarray(good)[:M0]
-    seed_obs = obs[end_rows][good_np]
+    seed_obs = obs[pair_rows][good_np]
     X_seed = Xe[:M0][good_np]
-    # middle cameras: PnP on seed points they observe
-    for c in order[1:-1]:
-        has = seed_obs[:, c] >= 0
-        if has.sum() < 8:
+    posed = {ci, cj}
+    known_X = {r: X_seed[k] for k, r in
+               enumerate(np.nonzero(pair_rows)[0][good_np])}
+    fK = float(np.asarray(K)[0, 0, 0])
+    while len(posed) < C:
+        best_c, best_rows = -1, None
+        for c in range(C):
+            if c in posed:
+                continue
+            rows = [r for r in known_X if obs[r, c] >= 0]
+            if best_rows is None or len(rows) > len(best_rows):
+                best_c, best_rows = c, rows
+        if best_c < 0 or len(best_rows) < 8:
+            _dbg("pnp support too small", best_c,
+                 0 if best_rows is None else len(best_rows))
             return fail
-        Xc = X_seed[has].astype(np.float32)
-        xc = xn[c][seed_obs[has, c]].astype(np.float32)
-        padn = max(0, 64 - Xc.shape[0] % 64) if Xc.shape[0] % 64 else 0
-        Xp = np.pad(Xc, ((0, padn), (0, 0)))
-        xp = np.pad(xc, ((0, padn), (0, 0)))
-        mp = np.zeros(Xp.shape[0], bool)
-        mp[: Xc.shape[0]] = True
-        r = ransac_pnp(jax.random.PRNGKey(100 + c), jnp.asarray(Xp),
-                       jnp.asarray(xp), jnp.asarray(mp),
-                       num_hypotheses=256, thresh=6e-3)
-        if int(r.num_inliers) < 8:
+        c = best_c
+        Xc = np.stack([known_X[r] for r in best_rows]).astype(np.float32)
+        xc = xn[c][obs[best_rows, c]].astype(np.float32)
+        # DLT PnP degenerates on near-coplanar init points (one dominant
+        # wall); rig cameras are close together, so IRLS-LM from the
+        # best-connected posed camera's pose is far more robust.
+        near = max(posed, key=lambda cc: sum(obs[r, cc] >= 0
+                                             for r in best_rows))
+        from coslam_tpu.solvers.pose import irls_pose
+        out = irls_pose(jnp.eye(3, dtype=jnp.float32),
+                        jnp.asarray(Rs[near]), jnp.asarray(ts[near]),
+                        jnp.asarray(Xc), jnp.asarray(xc),
+                        jnp.ones(Xc.shape[0], bool),
+                        tau=30.0 / fK, n_irls=6, n_lm=12)
+        n_inl = int(jnp.sum(out.err < 4.0 / fK))
+        if n_inl < 8 or not bool(jnp.all(jnp.isfinite(out.R))):
+            _dbg("pnp inliers", n_inl, "cam", c)
             return fail
-        Rs[c] = np.asarray(r.R)
-        ts[c] = np.asarray(r.t)
+        Rs[c] = np.asarray(out.R)
+        ts[c] = np.asarray(out.t)
+        posed.add(c)
+        # extend known points with rows visible in >=2 posed cameras
+        # (batched midpoint triangulation, one device call per new camera)
+        posed_list = sorted(posed)
+        new_rows, av, bv = [], [], []
+        for rr in range(obs.shape[0]):
+            if rr in known_X:
+                continue
+            vis = [cc for cc in posed_list if obs[rr, cc] >= 0]
+            if len(vis) >= 2:
+                new_rows.append(rr)
+                av.append(vis[0])
+                bv.append(vis[-1])
+        if new_rows:
+            from coslam_tpu.geometry.triangulate import \
+                triangulate_two_view_midpoint
+            av = np.array(av)
+            bv = np.array(bv)
+            ra = np.array(new_rows)
+            xa = np.stack([xn[a][obs[r, a]] for r, a in zip(ra, av)])
+            xb = np.stack([xn[b][obs[r, b]] for r, b in zip(ra, bv)])
+            Xr, s1, s2, _ = triangulate_two_view_midpoint(
+                jnp.asarray(Rs[av]), jnp.asarray(ts[av]),
+                jnp.asarray(Rs[bv]), jnp.asarray(ts[bv]),
+                jnp.asarray(xa), jnp.asarray(xb))
+            Xr = np.asarray(Xr)
+            okr = (np.asarray(s1) > 0) & (np.asarray(s2) > 0)
+            for k, rr in enumerate(ra):
+                if okr[k]:
+                    known_X[rr] = Xr[k]
     # reconstruct ALL tracks (>= 2 views) with final poses, gated
     M = obs.shape[0]
     xns = np.zeros((M, C, 2), np.float32)
@@ -240,6 +299,43 @@ def init_map_multicam(cfg: SlamConfig, K, kc, pyr, pos, valid) -> InitMapResult:
     Rb = jnp.broadcast_to(jnp.asarray(Rs), (M, C, 3, 3))
     tb = jnp.broadcast_to(jnp.asarray(ts), (M, C, 3))
     X = triangulate_multiview(Rb, tb, jnp.asarray(xns), jnp.asarray(mask))
+    # --- init bundle adjustment (the RobustBundleRTS call right after
+    # initMap, SL_CoSLAM.cpp:239): the 8-point E estimate degrades on
+    # near-planar scenes; a robust BA over all cameras + init points
+    # restores geometric consistency before anything is committed.
+    from coslam_tpu.solvers.ba import BAProblem, bundle_adjust
+    px_all = np.zeros((M, C, 2), np.float32)
+    for c in range(C):
+        rowsc = mask[:, c]
+        px_all[rowsc, c] = np.asarray(pos)[c][obs[rowsc, c]]
+    Mp = int(np.ceil(max(M, 1) / 256) * 256)       # pad to bound recompiles
+    O = Mp * C
+    obs_cam = np.tile(np.arange(C), Mp).astype(np.int32)
+    obs_pt = np.repeat(np.arange(Mp), C).astype(np.int32)
+    obs_px = np.zeros((Mp, C, 2), np.float32)
+    obs_px[:M] = px_all
+    obs_ok = np.zeros((Mp, C), bool)
+    obs_ok[:M] = mask
+    Xp0 = np.zeros((Mp, 3), np.float32)
+    Xp0[:M] = np.asarray(X)
+    cam_fixed = np.zeros(C, bool)
+    cam_fixed[ci] = True
+    prob = BAProblem(
+        K=jnp.asarray(K), R=jnp.asarray(Rs), t=jnp.asarray(ts),
+        X=jnp.asarray(Xp0),
+        obs_cam=jnp.asarray(obs_cam), obs_pt=jnp.asarray(obs_pt),
+        obs_px=jnp.asarray(obs_px.reshape(O, 2)),
+        obs_valid=jnp.asarray(obs_ok.reshape(O)),
+        cam_fixed=jnp.asarray(cam_fixed),
+        point_fixed=jnp.zeros(Mp, bool))
+    bres = bundle_adjust(prob, max_err=p.max_err, max_iter=3, inner_iter=25)
+    if bool(jnp.all(jnp.isfinite(bres.R))) and \
+            bool(jnp.all(jnp.isfinite(bres.X[:M]))):
+        Rs = np.asarray(bres.R)
+        ts = np.asarray(bres.t)
+        X = bres.X[:M]
+        Rb = jnp.broadcast_to(jnp.asarray(Rs), (M, C, 3, 3))
+        tb = jnp.broadcast_to(jnp.asarray(ts), (M, C, 3))
     # reprojection gate (undistorted px) + positive depth in every view
     Ks = jnp.asarray(K)
     pr = cam.project_points(Ks[None], jnp.asarray(Rs)[None],
@@ -254,6 +350,8 @@ def init_map_multicam(cfg: SlamConfig, K, kc, pyr, pos, valid) -> InitMapResult:
     ok_view = (~mask) | ((err < 2.0 * p.reproj_new_point_gate) & (depth > 1e-3))
     keep = ok_view.all(axis=1) & (mask.sum(1) >= 2) & \
         np.isfinite(np.asarray(X)).all(axis=1)
+    _dbg("final keep", int(keep.sum()), "of", M, "median err",
+         float(np.median(err[mask])))
     if keep.sum() < 30:
         return fail
     Xk = np.asarray(X)[keep]

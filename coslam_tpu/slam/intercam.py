@@ -1,0 +1,201 @@
+"""Inter-camera collaboration: cross-camera mapping, point registration,
+and the joint multi-camera pose fallback.
+
+Replaces three reference subsystems (SURVEY.md §2.5):
+  - ``NewMapPtsNCC`` (SL_NewMapPointsInterCam.cpp): for adjacent camera
+    pairs within a group, match unmapped current-frame features via
+    epipolar+NCC matrices, triangulate, gate, and push new map points
+    observed by both cameras.
+  - the registration family ``activeMapPointsRegister`` /
+    ``currentMapPointsRegister`` (SL_CoSLAM.cpp:731-1175): re-acquire
+    dormant/unseen map points by projecting them into each camera and
+    NCC-matching stored appearance blocks against unmapped features.
+  - ``InterCamPoseEstimator`` (SL_InterCamPoseEstimator.cpp): when any
+    camera's static support collapses, solve ALL cameras jointly with a
+    robust BA that keeps static points fixed and lets dynamic points act
+    as structure help — the paper's core collaboration mechanism.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from coslam_tpu.config import SlamConfig
+from coslam_tpu.geometry.camera import (pixel_to_normalized, project_points)
+from coslam_tpu.geometry.epipolar import fundamental_from_poses
+from coslam_tpu.geometry.triangulate import (triangulate_two_view_midpoint,
+                                             triangulation_cov)
+from coslam_tpu.ops.matching import guided_match, greedy_mutual_match
+from coslam_tpu.ops.ncc import extract_ncc_blocks, NCC_INVALID
+from coslam_tpu.solvers.ba import BAProblem, bundle_adjust
+from coslam_tpu.slam.state import (SlamState, MapPoints, ST_FREE, ST_ALIVE,
+                                   PT_STATIC, PT_DYNAMIC)
+from coslam_tpu.slam.steps import choose_grid_features
+
+
+def _alloc_slots(mappts: MapPoints, want: jnp.ndarray):
+    """Allocate map slots for ``want`` [M] flags. Returns slot ids [M]
+    (= P where dropped) and the updated free-rank bookkeeping inputs."""
+    P = mappts.xyz.shape[0]
+    free = mappts.status == ST_FREE
+    order = jnp.argsort(~free)
+    rank = jnp.cumsum(want) - 1
+    n_free = jnp.sum(free)
+    can = want & (rank < n_free)
+    slot = jnp.where(can, order[jnp.clip(rank, 0, P - 1)], P)
+    return slot, can
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam_a", "cam_b"))
+def intercam_map_pair(state: SlamState, pyr_cur, K: jnp.ndarray,
+                      kc: jnp.ndarray, cam_a: int, cam_b: int,
+                      cfg: SlamConfig):
+    """Match unmapped features of cameras (a, b), triangulate, allocate.
+
+    Returns (mappts', tracks', n_new). One adjacent pair per call (group
+    order is tiny host-side data; pairs are compiled per (a, b)).
+    """
+    tracks, mappts = state.tracks, state.mappts
+    C, N = tracks.valid.shape
+    P = mappts.xyz.shape[0]
+    p = cfg.p
+    blocks_a, ok_a = extract_ncc_blocks(pyr_cur.imgs[0][cam_a],
+                                        tracks.raw[cam_a], p.ncc_patch_radius)
+    blocks_b, ok_b = extract_ncc_blocks(pyr_cur.imgs[0][cam_b],
+                                        tracks.raw[cam_b], p.ncc_patch_radius)
+    free_a = tracks.valid[cam_a] & (tracks.mpt[cam_a] < 0) & ok_a \
+        & (tracks.dyn_votes[cam_a] < 3)
+    free_b = tracks.valid[cam_b] & (tracks.mpt[cam_b] < 0) & ok_b \
+        & (tracks.dyn_votes[cam_b] < 3)
+    F = fundamental_from_poses(K[cam_a], state.R[cam_a], state.t[cam_a],
+                               K[cam_b], state.R[cam_b], state.t[cam_b])
+    m = guided_match(blocks_a, blocks_b, free_a, free_b,
+                     tracks.pos[cam_a], tracks.pos[cam_b], F=F,
+                     max_epi=p.max_epi_err, min_ncc=p.ncc_min_score)
+    matched = m.a_to_b >= 0
+    bsl = jnp.clip(m.a_to_b, 0)
+    xa = pixel_to_normalized(tracks.pos[cam_a], K[cam_a])
+    xb = pixel_to_normalized(tracks.pos[cam_b][bsl], K[cam_b])
+    X, sa, sb, pcos = triangulate_two_view_midpoint(
+        state.R[cam_a], state.t[cam_a], state.R[cam_b], state.t[cam_b],
+        xa, xb)
+    pra = project_points(K[cam_a], state.R[cam_a], state.t[cam_a], X)
+    prb = project_points(K[cam_b], state.R[cam_b], state.t[cam_b], X)
+    ea = jnp.linalg.norm(pra - tracks.pos[cam_a], axis=-1)
+    eb = jnp.linalg.norm(prb - tracks.pos[cam_b][bsl], axis=-1)
+    good = matched & (sa > 1e-3) & (sb > 1e-3) & \
+        (ea < p.reproj_new_point_gate) & (eb < p.reproj_new_point_gate) & \
+        jnp.all(jnp.isfinite(X), axis=-1)
+    slot, can = _alloc_slots(mappts, good)
+    Ks2 = jnp.broadcast_to(jnp.stack([K[cam_a], K[cam_b]]), (N, 2, 3, 3))
+    Rs2 = jnp.broadcast_to(jnp.stack([state.R[cam_a], state.R[cam_b]]),
+                           (N, 2, 3, 3))
+    ts2 = jnp.broadcast_to(jnp.stack([state.t[cam_a], state.t[cam_b]]),
+                           (N, 2, 3))
+    covX = triangulation_cov(Ks2, Rs2, ts2, X, jnp.ones((N, 2), bool),
+                             pixel_var=p.pixel_err_var)
+    mp = mappts
+    mp = mp._replace(
+        xyz=mp.xyz.at[slot].set(X, mode="drop"),
+        cov=mp.cov.at[slot].set(covX, mode="drop"),
+        gen=mp.gen.at[slot].add(1, mode="drop"),
+        status=mp.status.at[slot].set(ST_ALIVE, mode="drop"),
+        ptype=mp.ptype.at[slot].set(PT_STATIC, mode="drop"),
+        first_frame=mp.first_frame.at[slot].set(state.frame, mode="drop"),
+        last_obs=mp.last_obs.at[slot].set(state.frame, mode="drop"),
+        bad_votes=mp.bad_votes.at[slot].set(0, mode="drop"),
+        ncc=mp.ncc.at[slot, cam_a].set(blocks_a, mode="drop")
+             .at[slot, cam_b].set(blocks_b[bsl], mode="drop"),
+        ncc_valid=mp.ncc_valid.at[slot, cam_a].set(ok_a, mode="drop")
+                    .at[slot, cam_b].set(ok_b[bsl], mode="drop"))
+    slot_safe = jnp.where(can, slot, -1).astype(jnp.int32)
+    mpt = tracks.mpt
+    mpt = mpt.at[cam_a].set(jnp.where(can, slot_safe, mpt[cam_a]))
+    mpt = mpt.at[cam_b, bsl].set(
+        jnp.where(can, slot_safe, mpt[cam_b, bsl]), mode="drop")
+    tracks = tracks._replace(mpt=mpt)
+    return mp, tracks, jnp.sum(can)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def register_map_points(state: SlamState, pyr_cur, K: jnp.ndarray,
+                        cfg: SlamConfig, max_age: int | None = None):
+    """Re-acquire unseen alive points per camera by projection + NCC
+    (activeMapPointsRegister, SL_CoSLAM.cpp:1037-1109). Binds unmapped
+    features to points whose projection lands within the error gate and
+    whose stored appearance matches."""
+    tracks, mappts = state.tracks, state.mappts
+    C, N = tracks.valid.shape
+    P = mappts.xyz.shape[0]
+    p = cfg.p
+    gate = jnp.sqrt(p.pixel_err_var) * 3.0
+    alive = (mappts.status == ST_ALIVE) & (mappts.ptype == PT_STATIC)
+    if max_age is not None:
+        alive = alive & (state.frame - mappts.last_obs <= max_age)
+    mpt = tracks.mpt
+    n_new = jnp.zeros((), jnp.int32)
+    for c in range(C):
+        # points already observed by camera c are excluded
+        seen = jnp.zeros((P,), bool).at[
+            jnp.where(tracks.valid[c] & (mpt[c] >= 0), mpt[c], P)
+        ].set(True, mode="drop")
+        cand_p = alive & ~seen & mappts.ncc_valid[:, c]
+        pr = project_points(K[c], state.R[c], state.t[c], mappts.xyz)
+        blocks_f, ok_f = extract_ncc_blocks(pyr_cur.imgs[0][c],
+                                            tracks.raw[c],
+                                            p.ncc_patch_radius)
+        free_f = tracks.valid[c] & (mpt[c] < 0) & ok_f
+        # score matrix [P, N]: NCC of stored blocks vs current features,
+        # masked by projection distance
+        s = jnp.dot(mappts.ncc[:, c], blocks_f.T,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+        dist = jnp.linalg.norm(pr[:, None, :] - tracks.pos[c][None], axis=-1)
+        bad = ~(cand_p[:, None] & free_f[None, :]) | (dist > gate)
+        s = jnp.where(bad, NCC_INVALID, s)
+        mres = greedy_mutual_match(s, min_score=p.ncc_min_score, rounds=4)
+        got = mres.a_to_b >= 0                       # [P]
+        fsl = jnp.clip(mres.a_to_b, 0)
+        mpt = mpt.at[c, fsl].set(
+            jnp.where(got, jnp.arange(P), mpt[c, fsl]).astype(jnp.int32),
+            mode="drop")
+        n_new = n_new + jnp.sum(got)
+    return state._replace(tracks=tracks._replace(mpt=mpt)), n_new
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def joint_pose_update(state: SlamState, K: jnp.ndarray, cfg: SlamConfig,
+                      img_hw=None):
+    """InterCamPoseEstimator: one robust BA over all cameras at the current
+    frame — static points fixed (one grid-chosen measurement each),
+    dynamic points free with all their current views (structure help).
+    Returns (R, t)."""
+    tracks, mappts = state.tracks, state.mappts
+    C, N = tracks.valid.shape
+    P = mappts.xyz.shape[0]
+    p = cfg.p
+    mi = jnp.clip(tracks.mpt, 0)
+    mapped = tracks.valid & (tracks.mpt >= 0) & (mappts.status[mi] == ST_ALIVE)
+    is_static = mapped & (mappts.ptype[mi] == PT_STATIC)
+    is_dyn = mapped & (mappts.ptype[mi] == PT_DYNAMIC)
+    obs_valid = (is_static | is_dyn).reshape(C * N)
+    obs_cam = jnp.broadcast_to(jnp.arange(C)[:, None], (C, N)).reshape(-1)
+    obs_pt = mi.reshape(-1)
+    obs_px = tracks.pos.reshape(C * N, 2)
+    dyn_pt = jnp.zeros((P,), bool).at[
+        jnp.where(is_dyn, tracks.mpt, P)].set(True, mode="drop")
+    prob = BAProblem(
+        K=K, R=state.R, t=state.t, X=mappts.xyz,
+        obs_cam=obs_cam.astype(jnp.int32), obs_pt=obs_pt.astype(jnp.int32),
+        obs_px=obs_px, obs_valid=obs_valid,
+        cam_fixed=jnp.zeros((C,), bool),
+        point_fixed=~dyn_pt)          # static structure fixed, dynamic free
+    res = bundle_adjust(prob, max_err=p.max_err, max_iter=3, inner_iter=15)
+    ok = jnp.all(jnp.isfinite(res.R)) & jnp.all(jnp.isfinite(res.t))
+    R = jnp.where(ok, res.R, state.R)
+    t = jnp.where(ok, res.t, state.t)
+    return R, t

@@ -57,6 +57,8 @@ class CoSlamEngine:
         self.kf_frames: list[int] = []
         self._kf_inliers = np.zeros(C)
         self.stats_log: list[dict] = []
+        self.group_id = np.zeros(C, np.int32)
+        self.dyn_log: list[tuple] = []   # (frame, ids, xyz) dynamic snapshots
 
     # ------------------------------------------------------------------
     @property
@@ -231,21 +233,63 @@ class CoSlamEngine:
     # ------------------------------------------------------------------
     def _tracked_frame(self, pyr) -> dict:
         cfg = self.cfg
+        C = cfg.num_cameras
+        p = cfg.p
         out = steps.pose_update(self.state, self.K, self.kc, self.img_hw, cfg)
         self.state = self.state._replace(
             R=out.R, t=out.t, tracks=out.tracks, mappts=out.mappts)
+        n_inl = np.asarray(out.n_inliers)
+        cover = np.asarray(out.coverage)
+        joint = False
+        if C > 1:
+            # tracking-failure detection -> joint multi-camera robust pose
+            # (interCamPoseUpdate, SL_CoSLAM.cpp:308-365)
+            weak = (n_inl < p.min_static_for_ok) | (cover < p.min_static_cover)
+            if weak.any() and (n_inl >= 4).all():
+                from coslam_tpu.slam.intercam import joint_pose_update
+                R, t = joint_pose_update(self.state, self.K, cfg)
+                self.state = self.state._replace(R=R, t=t)
+                joint = True
         self.state = steps.push_pose_history(self.state)
+        if C > 1:
+            from coslam_tpu.slam.classify import (detect_dynamic_features,
+                                                  classify_map_points)
+            self.state = detect_dynamic_features(self.state, self.K, cfg)
+            cls = classify_map_points(self.state, self.K, cfg)
+            self.state = self.state._replace(mappts=cls.mappts)
+            if int(cls.n_dynamic) > 0:
+                self._store_dynamic_snapshot()
+            if self.frame % 5 == 0:
+                from coslam_tpu.slam.grouping import camera_grouping
+                self.group_id = camera_grouping(self.state, cfg)
         mappts, tracks, n_new = steps.new_map_points(
             self.state, pyr, self.K, self.kc, cfg)
         self.state = self.state._replace(mappts=mappts, tracks=tracks)
-        n_inl = np.asarray(out.n_inliers)
+        n_inter = 0
+        if C > 1 and (self.frame % p.intercam_map_interval == 0):
+            from coslam_tpu.slam.grouping import group_adjacent_pairs
+            from coslam_tpu.slam.intercam import (intercam_map_pair,
+                                                  register_map_points)
+            for (a, b) in group_adjacent_pairs(self.group_id):
+                mp, tr, nn = intercam_map_pair(self.state, pyr, self.K,
+                                               self.kc, a, b, cfg)
+                self.state = self.state._replace(mappts=mp, tracks=tr)
+                n_inter += int(nn)
+            self.state, n_reg = register_map_points(self.state, pyr, self.K,
+                                                    cfg,
+                                                    max_age=p.num_act_frames)
         stats = {
             "n_inliers": n_inl,
-            "coverage": np.asarray(out.coverage),
+            "coverage": cover,
             "med_err": np.asarray(out.med_err),
             "med_depth": np.asarray(out.med_depth),
             "n_new_points": int(n_new),
+            "n_intercam_points": n_inter,
+            "joint_pose": joint,
         }
+        if C > 1:
+            stats["n_static"] = int(cls.n_static)
+            stats["n_dynamic"] = int(cls.n_dynamic)
         if self._keyframe_ready(out):
             self.state = self.state._replace(kfs=steps.add_keyframe(self.state))
             self.kf_frames.append(self.frame)
@@ -291,6 +335,17 @@ class CoSlamEngine:
                             inner_iter=cfg.p.ba_inner_iter)
         self.state = steps.apply_ba_results(self.state, prob, res, ring,
                                             kf_ok, cfg)
+
+    def _store_dynamic_snapshot(self):
+        """Per-frame dynamic-point snapshot (storeDynamicPoints,
+        SL_CoSLAM.cpp:1900-1911) — the dynamic trajectories output."""
+        from coslam_tpu.slam.state import PT_DYNAMIC
+        mp = self.state.mappts
+        dyn = (np.asarray(mp.status) == ST_ALIVE) & \
+              (np.asarray(mp.ptype) == PT_DYNAMIC)
+        ids = np.nonzero(dyn)[0]
+        if len(ids):
+            self.dyn_log.append((self.frame, ids, np.asarray(mp.xyz)[dyn]))
 
     # ------------------------------------------------------------------
     def _record_pose(self):

@@ -57,6 +57,7 @@ class MapPoints(NamedTuple):
     ptype: jnp.ndarray       # [P] i32 (PT_*)
     first_frame: jnp.ndarray  # [P] i32
     last_obs: jnp.ndarray    # [P] i32 last frame with any observation
+    bad_votes: jnp.ndarray   # [P] i32 consecutive classification failures
     ncc: jnp.ndarray         # [P, C, B] per-camera appearance blocks
     ncc_valid: jnp.ndarray   # [P, C]
 
@@ -115,6 +116,7 @@ def init_state(cfg: SlamConfig) -> SlamState:
         ptype=jnp.zeros((P,), i32),
         first_frame=jnp.zeros((P,), i32),
         last_obs=jnp.zeros((P,), i32),
+        bad_votes=jnp.zeros((P,), i32),
         ncc=jnp.zeros((P, C, B), f32),
         ncc_valid=jnp.zeros((P, C), bool))
     kfs = KeyframeStore(

@@ -328,6 +328,7 @@ def new_map_points(state: SlamState, pyr_cur: Pyramid, K: jnp.ndarray,
     ptype = mappts.ptype.at[slot].set(PT_STATIC, mode="drop")
     first_frame = mappts.first_frame.at[slot].set(frame, mode="drop")
     last_obs = mappts.last_obs.at[slot].set(frame, mode="drop")
+    bad_votes = mappts.bad_votes.at[slot].set(0, mode="drop")
     # per-camera NCC write: slot s belongs to camera c = flat_idx // N
     cam_of = jnp.arange(C * N) // N
     ncc = mappts.ncc.at[slot, cam_of].set(blocks.reshape(C * N, -1),
@@ -338,7 +339,7 @@ def new_map_points(state: SlamState, pyr_cur: Pyramid, K: jnp.ndarray,
     tracks = tracks._replace(mpt=mpt)
     mappts = MapPoints(xyz=xyz, cov=cov, gen=gen, status=status, ptype=ptype,
                        first_frame=first_frame, last_obs=last_obs,
-                       ncc=ncc, ncc_valid=ncc_valid)
+                       bad_votes=bad_votes, ncc=ncc, ncc_valid=ncc_valid)
     return mappts, tracks, jnp.sum(can)
 
 
@@ -393,10 +394,15 @@ def build_ba_problem(state: SlamState, K: jnp.ndarray,
         (jnp.arange(W)[:, None, None] * C + jnp.arange(C)[None, :, None]),
         (W, C, N)).reshape(O)
     obs_pt = mi.reshape(O)
-    # points need >=2 window observations to move
+    # points need >=2 window observations to move; points established
+    # BEFORE the window act as gauge anchors (the nPtsCon mechanism of
+    # bundleAdjustRobust, SL_CoSLAMRobustBA.h:30-46) — without them a
+    # sliding monocular window lets scale wander
     cnt = jax.ops.segment_sum(obs_valid.reshape(O).astype(jnp.int32),
                               obs_pt, num_segments=P)
-    point_fixed = cnt < 2
+    oldest_frame = kfs.frame[ring[jnp.argmax(kf_ok)]]
+    pre_window = mappts.first_frame < oldest_frame
+    point_fixed = (cnt < 2) | pre_window
     obs_valid = obs_valid.reshape(O) & (cnt[obs_pt] >= 2)
     # gauge: cameras of the two oldest valid keyframes are fixed
     n_valid = jnp.sum(kf_ok)
@@ -445,11 +451,13 @@ def apply_ba_results(state: SlamState, prob: BAProblem, res: BAResult,
     R_upd = kfs.R[newest]
     t_upd = kfs.t[newest]
     # D = T_old^-1 o T_new : x -> R_old^T(R_new x) + R_old^T(t_new - t_old)
-    D_R = jnp.einsum("cji,cjk->cik", R_old, R_upd)
+    from coslam_tpu.geometry.se3 import orthonormalize_fast
+    D_R = orthonormalize_fast(jnp.einsum("cji,cjk->cik", R_old, R_upd))
     D_t = jnp.einsum("cji,cj->ci", R_old, t_upd - t_old)
-    R_cur = jnp.einsum("cij,cjk->cik", state.R, D_R)
+    R_cur = orthonormalize_fast(jnp.einsum("cij,cjk->cik", state.R, D_R))
     t_cur = jnp.einsum("cij,cj->ci", state.R, D_t) + state.t
-    ph_R = jnp.einsum("ctij,cjk->ctik", state.pose_hist_R, D_R)
+    ph_R = orthonormalize_fast(
+        jnp.einsum("ctij,cjk->ctik", state.pose_hist_R, D_R))
     ph_t = jnp.einsum("ctij,cj->cti", state.pose_hist_R, D_t) \
         + state.pose_hist_t
     return state._replace(R=R_cur, t=t_cur, kfs=kfs, mappts=mappts,

@@ -234,6 +234,8 @@ def bundle_adjust(prob: BAProblem, max_err: float = 10.0,
 
     (R, t, X, w), _ = jax.lax.scan(
         outer, (prob.R, prob.t, prob.X, base_w), jnp.arange(max_iter))
+    from coslam_tpu.geometry.se3 import orthonormalize_fast
+    R = orthonormalize_fast(R)
     r, Xc, _, _ = _project_res(prob.K, R, t, X, prob.obs_cam, prob.obs_pt,
                                prob.obs_px)
     err = jnp.linalg.norm(r, axis=-1)

@@ -118,6 +118,8 @@ def irls_pose(K: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
 
     w0 = base_w
     (R, t, w), _ = jax.lax.scan(irls_outer, (R0, t0, w0), jnp.arange(n_irls))
+    from coslam_tpu.geometry.se3 import orthonormalize_fast
+    R = orthonormalize_fast(R)
     r, Xc = _residuals(K, R, t, X, px)
     err = jnp.linalg.norm(r, axis=-1)
     w_final = base_w * tukey_weight(err, tau) * (Xc[:, 2] > 1e-6)

@@ -1,0 +1,115 @@
+"""End-to-end collaborative SLAM tests (BASELINE configs 2 and 3):
+two-camera static scene and three-camera dynamic scene with
+static/dynamic classification."""
+
+import numpy as np
+import pytest
+
+from coslam_tpu.config import small_test_config
+from coslam_tpu.io.synthetic import (make_room, orbit_trajectory,
+                                     render_sequence, multi_cam_rig,
+                                     MovingQuad, make_texture)
+from coslam_tpu.io.ate import ate_rmse
+from coslam_tpu.slam.pipeline import CoSlamEngine
+
+H, W = 150, 200
+K1 = np.array([[180.0, 0, 100], [0, 180.0, 75], [0, 0, 1]], dtype=np.float32)
+
+
+def render_rig(rng, C, F, baseline, quads=None, forward=0.05):
+    planes = make_room(rng, size=10.0)
+    Rr, tr = orbit_trajectory(F, forward=forward)
+    rot_c, offs_c = multi_cam_rig(C, baseline=baseline)
+    Rs_gt = np.zeros((C, F, 3, 3), np.float32)
+    ts_gt = np.zeros((C, F, 3), np.float32)
+    frames = np.zeros((F, C, H, W), np.float32)
+    for f in range(F):
+        c_rig = -Rr[f].T @ tr[f]
+        for c in range(C):
+            center = c_rig + Rr[f].T @ offs_c[c]
+            Rc = rot_c[c] @ Rr[f]
+            Rs_gt[c, f] = Rc
+            ts_gt[c, f] = -Rc @ center
+    for c in range(C):
+        frames[:, c] = render_sequence(planes, K1, Rs_gt[c], ts_gt[c], H, W,
+                                       quads=quads)
+    return frames, Rs_gt, ts_gt
+
+
+def run_engine(C, frames):
+    cfg = small_test_config(num_cameras=C, h=H, w=W)
+    K = np.stack([K1] * C)
+    kc = np.zeros((C, 5), dtype=np.float32)
+    eng = CoSlamEngine(cfg, K, kc)
+    for f in range(frames.shape[0]):
+        eng.process_frame(frames[f])
+    return eng
+
+
+@pytest.fixture(scope="module")
+def two_cam():
+    rng = np.random.default_rng(0)
+    frames, Rs_gt, ts_gt = render_rig(rng, C=2, F=45, baseline=1.0,
+                                      forward=0.06)
+    return run_engine(2, frames), Rs_gt, ts_gt
+
+
+@pytest.fixture(scope="module")
+def three_cam_dynamic():
+    rng = np.random.default_rng(0)
+    quad = MovingQuad(center0=np.array([-3.0, 0.5, 13.0], dtype=np.float32),
+                      velocity=np.array([0.12, 0.0, 0.0], dtype=np.float32),
+                      eu=np.array([2.2, 0.0, 0.0], dtype=np.float32),
+                      ev=np.array([0.0, 2.2, 0.0], dtype=np.float32),
+                      tex=make_texture(rng))
+    frames, Rs_gt, ts_gt = render_rig(rng, C=3, F=50, baseline=0.9,
+                                      quads=[quad])
+    return run_engine(3, frames), Rs_gt, ts_gt, quad
+
+
+def test_two_cam_bootstrap_frame0(two_cam):
+    eng, _, _ = two_cam
+    assert eng.bootstrapped
+    assert eng.kf_frames[0] == 0     # wide-baseline init needs no motion
+
+
+def test_two_cam_ate(two_cam):
+    eng, Rs_gt, ts_gt = two_cam
+    for c in range(2):
+        ate = ate_rmse(*eng.trajectory(c, True), Rs_gt[c], ts_gt[c])
+        assert ate < 0.25, f"cam{c} ATE {ate}"
+
+
+def test_two_cam_single_group(two_cam):
+    eng, _, _ = two_cam
+    assert (eng.group_id == eng.group_id[0]).all()
+
+
+def test_three_cam_ate(three_cam_dynamic):
+    eng, Rs_gt, ts_gt, _ = three_cam_dynamic
+    for c in range(3):
+        ate = ate_rmse(*eng.trajectory(c, True), Rs_gt[c], ts_gt[c])
+        assert ate < 0.35, f"cam{c} ATE {ate}"
+
+
+def test_three_cam_dynamic_points_follow_object(three_cam_dynamic):
+    eng, _, _, quad = three_cam_dynamic
+    assert len(eng.dyn_log) > 10     # dynamic snapshots recorded
+    f_last, ids, xyz = eng.dyn_log[-1]
+    qc = np.asarray(quad.center0) + f_last * np.asarray(quad.velocity)
+    d = np.linalg.norm(xyz - qc, axis=1).min()
+    assert d < 2.0                    # a dynamic point sits on the quad
+
+
+def test_three_cam_statics_dominate(three_cam_dynamic):
+    eng, _, _, _ = three_cam_dynamic
+    last = [s for s in eng.stats_log if "n_static" in s][-1]
+    assert last["n_static"] > 100
+    assert last["n_dynamic"] >= 1
+    assert last["n_static"] > 5 * last["n_dynamic"]
+
+
+def test_three_cam_intercam_mapping_contributes(three_cam_dynamic):
+    eng, _, _, _ = three_cam_dynamic
+    total_inter = sum(s.get("n_intercam_points", 0) for s in eng.stats_log)
+    assert total_inter > 0
