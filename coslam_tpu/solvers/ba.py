@@ -112,9 +112,15 @@ def _inv3x3(A):
     return inv / det[..., None, None]
 
 
-def _ba_normal_terms(K, R, t, X, prob: BAProblem, w):
+def _ba_normal_terms(K, R, t, X, prob: BAProblem, w, axis_name=None):
     """Build (Hcc [M,6,6], W [P,M,6,3], Hpp [P,3,3], gc [M,6], gp [P,3],
-    cost) for current state. ``w`` are per-observation robust weights."""
+    cost) for current state. ``w`` are per-observation robust weights.
+
+    With ``axis_name`` set (inside shard_map with observations sharded
+    across devices), the accumulated blocks are psum-reduced over the mesh
+    — this is the distributed Schur-BA reduction: camera/landmark blocks
+    summed over ICI, dense reduced solve replicated (SURVEY.md §7 stage 5).
+    """
     M = prob.K.shape[0]
     P = prob.X.shape[0]
     r, Xc, Rm, Km = _project_res(K, R, t, X, prob.obs_cam, prob.obs_pt,
@@ -134,6 +140,9 @@ def _ba_normal_terms(K, R, t, X, prob: BAProblem, w):
     gc = jax.ops.segment_sum(gc_o, prob.obs_cam, num_segments=M)
     gp = jax.ops.segment_sum(gp_o, prob.obs_pt, num_segments=P)
     cost = jnp.sum(we * jnp.sum(r * r, axis=-1))
+    if axis_name is not None:
+        Hcc, Wcp, Hpp, gc, gp, cost = jax.lax.psum(
+            (Hcc, Wcp, Hpp, gc, gp, cost), axis_name)
     return Hcc, Wcp, Hpp, gc, gp, cost
 
 
@@ -181,9 +190,10 @@ def _schur_solve(Hcc, Wcp, Hpp, gc, gp, lam, cam_fixed, point_fixed):
     return dc, dX
 
 
-@partial(jax.jit, static_argnames=("max_iter", "inner_iter"))
+@partial(jax.jit, static_argnames=("max_iter", "inner_iter", "axis_name"))
 def bundle_adjust(prob: BAProblem, max_err: float = 10.0,
-                  max_iter: int = 2, inner_iter: int = 10) -> BAResult:
+                  max_iter: int = 2, inner_iter: int = 10,
+                  axis_name: str | None = None) -> BAResult:
     """Robust windowed BA.
 
     Outer loop (max_iter): recompute Tukey weights (tau = max_err) and flag
@@ -196,7 +206,7 @@ def bundle_adjust(prob: BAProblem, max_err: float = 10.0,
     def inner(carry, _):
         R, t, X, lam, w = carry
         Hcc, Wcp, Hpp, gc, gp, cost = _ba_normal_terms(
-            prob.K, R, t, X, prob, w)
+            prob.K, R, t, X, prob, w, axis_name)
         dc, dX = _schur_solve(Hcc, Wcp, Hpp, gc, gp, lam,
                               prob.cam_fixed, prob.point_fixed)
         finite = jnp.all(jnp.isfinite(dc)) & jnp.all(jnp.isfinite(dX))
@@ -209,6 +219,8 @@ def bundle_adjust(prob: BAProblem, max_err: float = 10.0,
                                            prob.obs_px)
         w_new = jnp.where(Xc_new[:, 2] <= 1e-6, 0.0, w)
         cost_new = jnp.sum(w_new * jnp.sum(r_new * r_new, axis=-1))
+        if axis_name is not None:
+            cost_new = jax.lax.psum(cost_new, axis_name)
         ok = (cost_new < cost) & finite
         R = jnp.where(ok, R_new, R)
         t = jnp.where(ok, t_new, t)
@@ -241,5 +253,8 @@ def bundle_adjust(prob: BAProblem, max_err: float = 10.0,
     err = jnp.linalg.norm(r, axis=-1)
     outlier = prob.obs_valid & ((err > max_err) | (Xc[:, 2] <= 1e-6))
     w_fin = base_w * tukey_weight(err, max_err) * (Xc[:, 2] > 1e-6)
+    cost = jnp.sum(w_fin * jnp.sum(r * r, axis=-1))
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
     return BAResult(R=R, t=t, X=X, obs_outlier=outlier, obs_err=err,
-                    cost=jnp.sum(w_fin * jnp.sum(r * r, axis=-1)))
+                    cost=cost)
