@@ -118,5 +118,5 @@ def small_test_config(num_cameras: int = 1, h: int = 120, w: int = 160) -> SlamC
         ),
         p=SlamParams(min_feat_track_len=5, num_act_frames=50,
                      classify_frame_window=20, min_static_for_ok=15,
-                     min_static_cover=0.12),
+                     min_static_cover=0.12, merge_min_interval=15),
     )

@@ -108,6 +108,7 @@ def intercam_map_pair(state: SlamState, pyr_cur, K: jnp.ndarray,
         first_frame=mp.first_frame.at[slot].set(state.frame, mode="drop"),
         last_obs=mp.last_obs.at[slot].set(state.frame, mode="drop"),
         bad_votes=mp.bad_votes.at[slot].set(0, mode="drop"),
+        owner=mp.owner.at[slot].set(cam_a, mode="drop"),
         ncc=mp.ncc.at[slot, cam_a].set(blocks_a, mode="drop")
              .at[slot, cam_b].set(blocks_b[bsl], mode="drop"),
         ncc_valid=mp.ncc_valid.at[slot, cam_a].set(ok_a, mode="drop")
@@ -136,6 +137,9 @@ def register_map_points(state: SlamState, pyr_cur, K: jnp.ndarray,
     alive = (mappts.status == ST_ALIVE) & (mappts.ptype == PT_STATIC)
     if max_age is not None:
         alive = alive & (state.frame - mappts.last_obs <= max_age)
+    # registration stays within the camera group (the reference registers
+    # per group; cross-group re-acquisition is the merge machinery's job)
+    owner_grp = state.group_id[jnp.clip(mappts.owner, 0, C - 1)]
     mpt = tracks.mpt
     n_new = jnp.zeros((), jnp.int32)
     for c in range(C):
@@ -143,7 +147,8 @@ def register_map_points(state: SlamState, pyr_cur, K: jnp.ndarray,
         seen = jnp.zeros((P,), bool).at[
             jnp.where(tracks.valid[c] & (mpt[c] >= 0), mpt[c], P)
         ].set(True, mode="drop")
-        cand_p = alive & ~seen & mappts.ncc_valid[:, c]
+        cand_p = alive & ~seen & mappts.ncc_valid[:, c] \
+            & (owner_grp == state.group_id[c])
         pr = project_points(K[c], state.R[c], state.t[c], mappts.xyz)
         blocks_f, ok_f = extract_ncc_blocks(pyr_cur.imgs[0][c],
                                             tracks.raw[c],

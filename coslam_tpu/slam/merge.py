@@ -1,0 +1,292 @@
+"""Camera-group merge: overlap detection, wide-baseline re-matching,
+pose-graph realignment with unknown-scale merge edges, duplicate fusion.
+
+Replaces ``MergeCameraGroup`` (reference: SL_MergeCameraGroup.h:85-248,
+.cpp — candidate detection by mutual map-point projection overlap +
+camera distance :56-177, SURF+E-matrix matching between the bridging
+cameras :190-421, duplicate map-point fusion :425-520, pose graph with
+``uncertainScale`` merge edges solved for rotations then translations
+with a unified scale :884-1116, group-set merging :1117-1174).
+
+Group SPLIT is implicit here exactly as in the reference: camera_grouping
+recomputes connected components every few frames, so groups fall apart
+when view overlap dies (SL_CoSLAM.cpp:1632-1697).
+
+Design deltas: SURF -> NCC corner matching (as in init); instead of
+rebuilding per-camera all-frame graphs, the realignment is applied as the
+rigid transform implied by the solved bridging pose to the whole moving
+group's state (poses, histories, keyframes, owned map points) — the same
+fixed-scale-gauge correction, expressed functionally.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from coslam_tpu.config import SlamConfig
+from coslam_tpu.geometry import camera as cam
+from coslam_tpu.geometry import epipolar
+from coslam_tpu.geometry.se3 import relative_pose, orthonormalize_fast
+from coslam_tpu.ops.matching import guided_match
+from coslam_tpu.ops.ncc import extract_ncc_blocks
+from coslam_tpu.slam.state import SlamState, ST_ALIVE, ST_FALSE, PT_STATIC
+from coslam_tpu.solvers.pose_graph import (PoseGraph, solve_rotations,
+                                           solve_translations)
+
+
+class MergeCandidate(NamedTuple):
+    cam_a: int      # camera in the anchor group
+    cam_b: int      # camera in the moving group
+    overlap: int
+
+
+def find_merge_candidates(state: SlamState, cfg: SlamConfig,
+                          group_id: np.ndarray) -> list[MergeCandidate]:
+    """checkPossibleMergable: for cameras in different groups, count each
+    other's alive static points that project inside the image with
+    positive depth, and gate on camera distance."""
+    p = cfg.p
+    C = cfg.num_cameras
+    h, w = cfg.image_height, cfg.image_width
+    mp = state.mappts
+    alive = np.asarray((mp.status == ST_ALIVE) & (mp.ptype == PT_STATIC))
+    owner = np.asarray(mp.owner)
+    xyz = np.asarray(mp.xyz)
+    R = np.asarray(state.R)
+    t = np.asarray(state.t)
+    centers = -np.einsum("cji,cj->ci", R, t)
+    out = []
+    for a in range(C):
+        for b in range(C):
+            if group_id[a] == group_id[b]:
+                continue
+            # points owned by b's group, projected into camera a
+            own_b = alive & (group_id[owner] == group_id[b])
+            if own_b.sum() < p.merge_overlap_min:
+                continue
+            Xb = xyz[own_b]
+            Xc = Xb @ R[a].T + t[a]
+            z = Xc[:, 2]
+            ok = z > 1e-3
+            # med-depth distance gate (checkCamDist, maxDistRatio)
+            med_z = np.median(z[ok]) if ok.any() else np.inf
+            if np.linalg.norm(centers[a] - centers[b]) > \
+                    p.max_dist_ratio * max(med_z, 1e-3):
+                continue
+            out.append((a, b, Xc, ok))
+    return out
+
+
+def projected_overlap(K, Xc, ok, h, w):
+    z = np.where(np.abs(Xc[:, 2]) < 1e-9, 1e-9, Xc[:, 2])
+    u = Xc[:, 0] / z * K[0, 0] + K[0, 2]
+    v = Xc[:, 1] / z * K[1, 1] + K[1, 2]
+    inside = ok & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    return int(inside.sum())
+
+
+def merge_candidates(state: SlamState, cfg: SlamConfig, K: np.ndarray,
+                     group_id: np.ndarray) -> list[MergeCandidate]:
+    cands = []
+    h, w = cfg.image_height, cfg.image_width
+    for (a, b, Xc, ok) in find_merge_candidates(state, cfg, group_id):
+        n = projected_overlap(K[a], Xc, ok, h, w)
+        if n >= cfg.p.merge_overlap_min:
+            cands.append(MergeCandidate(cam_a=a, cam_b=b, overlap=n))
+    cands.sort(key=lambda c: -c.overlap)
+    return cands
+
+
+class MergeResult(NamedTuple):
+    ok: bool
+    state: SlamState
+    scale: float
+    n_matches: int
+
+
+def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
+                 group_id: np.ndarray, cand: MergeCandidate) -> MergeResult:
+    """Estimate the bridging relative pose (NCC match + E-RANSAC), solve
+    the pose graph with an unknown-scale merge edge, and realign the
+    moving group's entire state."""
+    p = cfg.p
+    C = cfg.num_cameras
+    a, b = cand.cam_a, cand.cam_b
+    tracks = state.tracks
+    # wide-baseline matching between the bridging cameras
+    blocks_a, ok_a = extract_ncc_blocks(pyr.imgs[0][a], tracks.raw[a],
+                                        p.ncc_patch_radius)
+    blocks_b, ok_b = extract_ncc_blocks(pyr.imgs[0][b], tracks.raw[b],
+                                        p.ncc_patch_radius)
+    m = guided_match(blocks_a, blocks_b, ok_a & tracks.valid[a],
+                     ok_b & tracks.valid[b], tracks.pos[a], tracks.pos[b],
+                     F=None, min_ncc=p.ncc_min_score, rounds=8)
+    sel = np.asarray(m.a_to_b)
+    pairs = np.nonzero(sel >= 0)[0]
+    if len(pairs) < 16:
+        return MergeResult(False, state, 1.0, len(pairs))
+    xa = np.asarray(cam.normalize_points(tracks.pos[a], K[a], kc[a]))[pairs]
+    xb = np.asarray(cam.normalize_points(tracks.pos[b], K[b], kc[b]))[
+        sel[pairs]]
+    N0 = len(xa)
+    res = epipolar.ransac_fundamental(
+        jax.random.PRNGKey(int(state.frame)), jnp.asarray(xa),
+        jnp.asarray(xb), jnp.ones(N0, bool), num_hypotheses=512, thresh=3e-5)
+    if int(res.num_inliers) < 12:
+        return MergeResult(False, state, 1.0, int(res.num_inliers))
+    R_ab, t_ab, X_e, good = epipolar.recover_pose_from_essential(
+        res.F, jnp.asarray(xa), jnp.asarray(xb), res.inliers)
+    if int(jnp.sum(good)) < 12:
+        return MergeResult(False, state, 1.0, int(jnp.sum(good)))
+    # Resolve the E-translation scale against the anchor group's map: the
+    # matched cam_a features bound to anchor map points give metric depths;
+    # the unit-baseline triangulation gives E-scale depths; their median
+    # ratio is the baseline length. (The pose-graph uncertain-scale
+    # variable only works when the moving group has >= 2 cameras; a
+    # single-camera group leaves it unobservable — the reference resolves
+    # this through map-point fusion + local BA, same information.)
+    good_np = np.asarray(good)
+    feats_a = pairs[good_np]
+    mpt_a = np.asarray(tracks.mpt)[a][feats_a]
+    mp = state.mappts
+    alive_pt = np.asarray(mp.status) == ST_ALIVE
+    grp_owner = group_id[np.clip(np.asarray(mp.owner), 0, C - 1)]
+    bound = (mpt_a >= 0)
+    bound &= alive_pt[np.clip(mpt_a, 0, None)]
+    bound &= grp_owner[np.clip(mpt_a, 0, None)] == group_id[a]
+    z_e = np.asarray(X_e)[good_np][:, 2]
+    scale = None
+    if bound.sum() >= 6:
+        Xm = np.asarray(mp.xyz)[mpt_a[bound]]
+        R_np = np.asarray(state.R)
+        t_np = np.asarray(state.t)
+        z_map = (Xm @ R_np[a].T + t_np[a])[:, 2]
+        ratio = z_map / np.maximum(z_e[bound], 1e-6)
+        ratio = ratio[np.isfinite(ratio) & (ratio > 0)]
+        if len(ratio) >= 6:
+            scale = float(np.median(ratio))
+    if scale is None or not np.isfinite(scale) or scale <= 0:
+        return MergeResult(False, state, 1.0, int(jnp.sum(good)))
+    t_ab = t_ab * scale
+    # pose graph: nodes = cameras; rigid chain edges inside each group from
+    # current estimates; one metric merge edge a -> b
+    R = np.asarray(state.R)
+    t = np.asarray(state.t)
+    edges_i, edges_j, eR, et, sg = [], [], [], [], []
+    for g in np.unique(group_id):
+        cams = np.nonzero(group_id == g)[0]
+        for k in range(len(cams) - 1):
+            i, j = int(cams[k]), int(cams[k + 1])
+            Rji, tji = relative_pose(jnp.asarray(R[i]), jnp.asarray(t[i]),
+                                     jnp.asarray(R[j]), jnp.asarray(t[j]))
+            edges_i.append(i)
+            edges_j.append(j)
+            eR.append(np.asarray(Rji))
+            et.append(np.asarray(tji))
+            sg.append(-1)
+    edges_i.append(a)
+    edges_j.append(b)
+    eR.append(np.asarray(R_ab))
+    et.append(np.asarray(t_ab))
+    sg.append(-1)    # scale already resolved against the map
+    fixed = group_id == group_id[a]          # anchor group stays put
+    E = len(edges_i)
+    pg = PoseGraph(
+        edge_i=jnp.asarray(np.array(edges_i, np.int32)),
+        edge_j=jnp.asarray(np.array(edges_j, np.int32)),
+        edge_R=jnp.asarray(np.stack(eR).astype(np.float32)),
+        edge_t=jnp.asarray(np.stack(et).astype(np.float32)),
+        edge_valid=jnp.ones(E, bool),
+        edge_weight=jnp.ones(E, jnp.float32),
+        scale_group=jnp.asarray(np.array(sg, np.int32)),
+        fixed=jnp.asarray(fixed),
+        fixed_R=jnp.asarray(R), fixed_t=jnp.asarray(t),
+        node_valid=jnp.ones(C, bool))
+    R_sol = solve_rotations(pg)
+    t_sol, scales = solve_translations(pg, R_sol, num_scales=1)
+    if not bool(jnp.all(jnp.isfinite(R_sol)) & jnp.all(jnp.isfinite(t_sol))):
+        return MergeResult(False, state, 1.0, N0)
+    # rigid world-frame correction S for the moving group, from camera b:
+    # T_new = T_old o S^-1  =>  R_s = R_new^T R_old, t_s = R_new^T (t_old - t_new)
+    R_new_b = np.asarray(R_sol[b])
+    t_new_b = np.asarray(t_sol[b])
+    R_s = R_new_b.T @ R[b]
+    t_s = R_new_b.T @ (t[b] - t_new_b)
+    move = group_id == group_id[b]
+    state = apply_group_transform(state, cfg, move, R_s.astype(np.float32),
+                                  t_s.astype(np.float32), group_id)
+    return MergeResult(True, state, scale, int(jnp.sum(good)))
+
+
+def apply_group_transform(state: SlamState, cfg: SlamConfig,
+                          move_cams: np.ndarray, R_s: np.ndarray,
+                          t_s: np.ndarray, group_id: np.ndarray) -> SlamState:
+    """Apply world-frame map x -> R_s x + t_s to everything owned by the
+    moving group: camera poses T' = T o S^-1, pose histories, keyframe
+    poses, and owned map points (recomputeKeyCamPoses /
+    recomputeAllCameraPoses / recomputeMapPoints roles)."""
+    mv = jnp.asarray(move_cams)
+    Rs = jnp.asarray(R_s)
+    ts = jnp.asarray(t_s)
+    RsT = Rs.T
+
+    def xf_pose(R, t):
+        # T' = T o S^-1: R' = R Rs^T, t' = t - R' ts... derive:
+        # x' = Rs x + ts; cam: R x + t = R Rs^T (x') - R Rs^T ts + t
+        Rn = orthonormalize_fast(R @ RsT)
+        tn = t - jnp.einsum("...ij,j->...i", Rn, ts)
+        return Rn, tn
+
+    R_new, t_new = xf_pose(state.R, state.t)
+    R_cur = jnp.where(mv[:, None, None], R_new, state.R)
+    t_cur = jnp.where(mv[:, None], t_new, state.t)
+    phR, pht = xf_pose(state.pose_hist_R, state.pose_hist_t)
+    pose_hist_R = jnp.where(mv[:, None, None, None], phR, state.pose_hist_R)
+    pose_hist_t = jnp.where(mv[:, None, None], pht, state.pose_hist_t)
+    kR, kt = xf_pose(state.kfs.R, state.kfs.t)
+    kfs = state.kfs._replace(
+        R=jnp.where(mv[None, :, None, None], kR, state.kfs.R),
+        t=jnp.where(mv[None, :, None], kt, state.kfs.t))
+    # owned map points move with the group
+    mp = state.mappts
+    owner_moves = mv[jnp.clip(mp.owner, 0, cfg.num_cameras - 1)] & \
+        (mp.status == ST_ALIVE)
+    X_new = jnp.einsum("ij,pj->pi", Rs, mp.xyz) + ts
+    cov_new = jnp.einsum("ij,pjk,lk->pil", Rs, mp.cov, Rs)
+    mappts = mp._replace(
+        xyz=jnp.where(owner_moves[:, None], X_new, mp.xyz),
+        cov=jnp.where(owner_moves[:, None, None], cov_new, mp.cov))
+    return state._replace(R=R_cur, t=t_cur, pose_hist_R=pose_hist_R,
+                          pose_hist_t=pose_hist_t, kfs=kfs, mappts=mappts)
+
+
+def fuse_duplicate_points(state: SlamState, cfg: SlamConfig,
+                          group_id: np.ndarray, cand: MergeCandidate,
+                          dist_thresh: float = 0.5) -> SlamState:
+    """After realignment, points from the two groups describing the same
+    structure are fused (checkMergeMapPoints/mergeMapPoints): the moving
+    group's duplicate goes false (its features re-register onto the
+    surviving point next frame)."""
+    mp = state.mappts
+    alive = np.asarray((mp.status == ST_ALIVE) & (mp.ptype == PT_STATIC))
+    owner = np.asarray(mp.owner)
+    grp = group_id[np.clip(owner, 0, cfg.num_cameras - 1)]
+    ga, gb = group_id[cand.cam_a], group_id[cand.cam_b]
+    ia = np.nonzero(alive & (grp == ga))[0]
+    ib = np.nonzero(alive & (grp == gb))[0]
+    if len(ia) == 0 or len(ib) == 0:
+        return state
+    Xa = np.asarray(mp.xyz)[ia]
+    Xb = np.asarray(mp.xyz)[ib]
+    # nearest-neighbor fuse (sizes are small; exact O(A*B) distance)
+    d = np.linalg.norm(Xa[:, None] - Xb[None, :], axis=-1)
+    dup_b = ib[(d.min(axis=0) < dist_thresh)]
+    if len(dup_b) == 0:
+        return state
+    status = np.asarray(mp.status).copy()
+    status[dup_b] = ST_FALSE
+    return state._replace(mappts=mp._replace(status=jnp.asarray(status)))

@@ -59,6 +59,8 @@ class CoSlamEngine:
         self.stats_log: list[dict] = []
         self.group_id = np.zeros(C, np.int32)
         self.dyn_log: list[tuple] = []   # (frame, ids, xyz) dynamic snapshots
+        self._last_merge = 0
+        self.merge_log: list[dict] = []
 
     # ------------------------------------------------------------------
     @property
@@ -259,9 +261,21 @@ class CoSlamEngine:
             self.state = self.state._replace(mappts=cls.mappts)
             if int(cls.n_dynamic) > 0:
                 self._store_dynamic_snapshot()
-            if self.frame % 5 == 0:
+            # post-merge settle window: suppress re-grouping while shared
+            # observations re-form (the reference's post-merge suppression,
+            # SL_CoSLAM.cpp:1317-1320)
+            settled = not self.merge_log or \
+                self.frame - self.merge_log[-1]["frame"] > 12
+            if self.frame % 5 == 0 and settled:
                 from coslam_tpu.slam.grouping import camera_grouping
                 self.group_id = camera_grouping(self.state, cfg)
+                self.state = self.state._replace(
+                    group_id=jnp.asarray(self.group_id))
+            # group merge (SL_CoSLAM::mergeCamGroups, SURVEY.md §3.5)
+            if (len(np.unique(self.group_id)) > 1
+                    and self.frame - self._last_merge
+                    >= p.merge_min_interval):
+                self._try_merge(pyr)
         mappts, tracks, n_new = steps.new_map_points(
             self.state, pyr, self.K, self.kc, cfg)
         self.state = self.state._replace(mappts=mappts, tracks=tracks)
@@ -335,6 +349,33 @@ class CoSlamEngine:
                             inner_iter=cfg.p.ba_inner_iter)
         self.state = steps.apply_ba_results(self.state, prob, res, ring,
                                             kf_ok, cfg)
+
+    def _try_merge(self, pyr):
+        from coslam_tpu.slam.merge import (merge_candidates, merge_groups,
+                                           fuse_duplicate_points)
+        cfg = self.cfg
+        cands = merge_candidates(self.state, cfg, np.asarray(self.K),
+                                 self.group_id)
+        if not cands:
+            return
+        res = merge_groups(self.state, cfg, pyr, self.K, self.kc,
+                           self.group_id, cands[0])
+        self._last_merge = self.frame
+        if res.ok:
+            self.state = fuse_duplicate_points(res.state, cfg,
+                                               self.group_id, cands[0])
+            self.merge_log.append({
+                "frame": self.frame, "cam_a": cands[0].cam_a,
+                "cam_b": cands[0].cam_b, "scale": res.scale,
+                "n_matches": res.n_matches})
+            # unify the group sets directly (mergeMatchedGroups): the
+            # realigned groups ARE one group now; shared observations
+            # re-form via registration over the next frames
+            ga = self.group_id[cands[0].cam_a]
+            gb = self.group_id[cands[0].cam_b]
+            self.group_id = np.where(self.group_id == gb, ga, self.group_id)
+            self.state = self.state._replace(
+                group_id=jnp.asarray(self.group_id))
 
     def _store_dynamic_snapshot(self):
         """Per-frame dynamic-point snapshot (storeDynamicPoints,

@@ -58,6 +58,9 @@ class MapPoints(NamedTuple):
     first_frame: jnp.ndarray  # [P] i32
     last_obs: jnp.ndarray    # [P] i32 last frame with any observation
     bad_votes: jnp.ndarray   # [P] i32 consecutive classification failures
+    owner: jnp.ndarray       # [P] i32 camera id of most recent observation
+                             #  (owner group = group_id[owner]; merge uses it
+                             #   to know which points move with which group)
     ncc: jnp.ndarray         # [P, C, B] per-camera appearance blocks
     ncc_valid: jnp.ndarray   # [P, C]
 
@@ -117,6 +120,7 @@ def init_state(cfg: SlamConfig) -> SlamState:
         first_frame=jnp.zeros((P,), i32),
         last_obs=jnp.zeros((P,), i32),
         bad_votes=jnp.zeros((P,), i32),
+        owner=jnp.zeros((P,), i32),
         ncc=jnp.zeros((P, C, B), f32),
         ncc_valid=jnp.zeros((P, C), bool))
     kfs = KeyframeStore(

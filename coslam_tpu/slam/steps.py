@@ -221,7 +221,15 @@ def pose_update(state: SlamState, K: jnp.ndarray, kc: jnp.ndarray,
     seen = seen.at[jnp.where(mapped & ~outlier, tracks.mpt, -1)].set(
         True, mode="drop")
     last_obs = jnp.where(seen, state.frame, mappts.last_obs)
-    mappts = mappts._replace(xyz=xyz, cov=cov, last_obs=last_obs)
+    # ownership: lowest camera currently observing (min reduction via
+    # descending-camera scatter order)
+    owner = mappts.owner
+    for c in range(C - 1, -1, -1):
+        sel = mapped[c] & ~outlier[c]
+        owner = owner.at[jnp.where(sel, tracks.mpt[c], -1)].set(
+            c, mode="drop")
+    mappts = mappts._replace(xyz=xyz, cov=cov, last_obs=last_obs,
+                             owner=owner)
 
     # stats
     depth = jnp.einsum("cj,cnj->cn", R_new[:, 2, :], X) + t_new[:, 2:3]
@@ -331,6 +339,7 @@ def new_map_points(state: SlamState, pyr_cur: Pyramid, K: jnp.ndarray,
     bad_votes = mappts.bad_votes.at[slot].set(0, mode="drop")
     # per-camera NCC write: slot s belongs to camera c = flat_idx // N
     cam_of = jnp.arange(C * N) // N
+    owner = mappts.owner.at[slot].set(cam_of.astype(jnp.int32), mode="drop")
     ncc = mappts.ncc.at[slot, cam_of].set(blocks.reshape(C * N, -1),
                                           mode="drop")
     ncc_valid = mappts.ncc_valid.at[slot, cam_of].set(blk_ok.reshape(-1),
@@ -339,7 +348,8 @@ def new_map_points(state: SlamState, pyr_cur: Pyramid, K: jnp.ndarray,
     tracks = tracks._replace(mpt=mpt)
     mappts = MapPoints(xyz=xyz, cov=cov, gen=gen, status=status, ptype=ptype,
                        first_frame=first_frame, last_obs=last_obs,
-                       bad_votes=bad_votes, ncc=ncc, ncc_valid=ncc_valid)
+                       bad_votes=bad_votes, owner=owner, ncc=ncc,
+                       ncc_valid=ncc_valid)
     return mappts, tracks, jnp.sum(can)
 
 

@@ -1,0 +1,93 @@
+"""BASELINE config 4: camera-group split/merge — cameras separating and
+rejoining, pose-graph realignment on re-overlap."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from coslam_tpu.config import small_test_config
+from coslam_tpu.io.synthetic import make_room, render
+from coslam_tpu.geometry.se3 import so3_exp
+from coslam_tpu.slam.pipeline import CoSlamEngine
+from coslam_tpu.io.ate import ate_rmse
+
+C, H, W = 2, 150, 200
+K1 = np.array([[180.0, 0, 100], [0, 180.0, 75], [0, 0, 1]], dtype=np.float32)
+F = 100
+
+
+def _yaw1(f):
+    """cam1 yaws ~51 deg away (frames 20-40), holds, returns (55-75)."""
+    if f < 20:
+        return 0.0
+    if f < 40:
+        return 0.9 * (f - 20) / 20
+    if f < 55:
+        return 0.9
+    if f < 75:
+        return 0.9 * (75 - f) / 20
+    return 0.0
+
+
+@pytest.fixture(scope="module")
+def split_merge_run():
+    rng = np.random.default_rng(1)
+    planes = make_room(rng, size=10.0)
+    Rs_gt = np.zeros((C, F, 3, 3), np.float32)
+    ts_gt = np.zeros((C, F, 3), np.float32)
+    frames = np.zeros((F, C, H, W), np.float32)
+    for f in range(F):
+        base_c = np.array([0.0, 0.0, 0.02 * f], dtype=np.float32)
+        for c in range(C):
+            yaw = _yaw1(f) if c == 1 else 0.0
+            Rc = np.asarray(so3_exp(jnp.array([0.0, yaw, 0.0],
+                                              dtype=jnp.float32)))
+            center = base_c + np.array([c * 1.0 - 0.5, 0, 0],
+                                       dtype=np.float32)
+            Rs_gt[c, f] = Rc
+            ts_gt[c, f] = -Rc @ center
+            frames[f, c] = np.asarray(render(planes, K1, Rc, ts_gt[c, f],
+                                             H, W))
+    cfg = small_test_config(num_cameras=C, h=H, w=W)
+    eng = CoSlamEngine(cfg, np.stack([K1] * C), np.zeros((C, 5), np.float32))
+    groups_hist = []
+    for f in range(F):
+        eng.process_frame(frames[f])
+        groups_hist.append(tuple(eng.group_id.tolist()))
+    return eng, Rs_gt, ts_gt, groups_hist
+
+
+def test_group_splits_during_separation(split_merge_run):
+    _, _, _, groups = split_merge_run
+    # separated phase (frames 45-70) must be in different groups
+    assert any(g[0] != g[1] for g in groups[45:70])
+
+
+def test_merge_happens_on_reoverlap(split_merge_run):
+    eng, _, _, _ = split_merge_run
+    assert len(eng.merge_log) >= 1
+    m = eng.merge_log[0]
+    assert m["frame"] >= 70          # after the views re-overlap
+    assert 0.3 < m["scale"] < 3.0    # metric scale recovered sanely
+
+
+def test_groups_rejoined_at_end(split_merge_run):
+    _, _, _, groups = split_merge_run
+    assert groups[-1][0] == groups[-1][1]
+
+
+def test_post_merge_alignment(split_merge_run):
+    eng, Rs_gt, ts_gt, _ = split_merge_run
+    # cam0 (anchor) stays accurate; cam1 realigned within bound
+    a0 = ate_rmse(*eng.trajectory(0, True), Rs_gt[0], ts_gt[0])
+    a1 = ate_rmse(*eng.trajectory(1, True), Rs_gt[1], ts_gt[1])
+    assert a0 < 0.15, a0
+    assert a1 < 0.35, a1
+    # final relative pose between the cameras within a few degrees
+    R0, _ = eng.trajectory(0, True)
+    R1, _ = eng.trajectory(1, True)
+    R_rel = R1[-1] @ R0[-1].T
+    R_rel_gt = Rs_gt[1, -1] @ Rs_gt[0, -1].T
+    ang = np.degrees(np.arccos(np.clip((np.trace(R_rel @ R_rel_gt.T) - 1) / 2,
+                                       -1, 1)))
+    assert ang < 6.0, ang
