@@ -129,3 +129,90 @@ def irls_pose(K: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
 
 irls_pose_multicam = jax.vmap(irls_pose,
                               in_axes=(0, 0, 0, 0, 0, 0, None, None, None))
+
+
+# ---------------------------------------------------------------------------
+# epipolar-augmented variant
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_irls", "n_lm"))
+def irls_pose_epi(K: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
+                  X: jnp.ndarray, px: jnp.ndarray, valid3: jnp.ndarray,
+                  prev_R: jnp.ndarray, prev_t: jnp.ndarray,
+                  px_prev: jnp.ndarray, valid2: jnp.ndarray,
+                  tau: float = 10.0, epi_weight: float = 1.0,
+                  n_irls: int = 4, n_lm: int = 8) -> IRLSPoseResult:
+    """``intraCamEstimateEpi`` equivalent (SL_IntraCamPose.h:117-125): the
+    3D->2D objective augmented with 2D-2D epipolar terms against the
+    previous pose, so unmapped-but-tracked features still constrain the
+    pose when mapped points are scarce.
+
+    px_prev/px: the same feature slots' pixels at the previous/current
+    frame; valid2 masks the epipolar-only features. Jacobians of the
+    epipolar distance come from forward-mode autodiff on the se(3)
+    increment (6 JVPs — cheaper than deriving them by hand, identical
+    result)."""
+    from coslam_tpu.geometry.epipolar import fundamental_from_poses
+    from coslam_tpu.geometry.se3 import orthonormalize_fast
+    base3 = valid3.astype(X.dtype)
+    base2 = valid2.astype(X.dtype) * epi_weight
+
+    def residuals(xi, R, t):
+        dR, dt = se3_exp(xi)
+        Rn = dR @ R
+        tn = jnp.einsum("ij,j->i", dR, t) + dt
+        r3, _ = _residuals(K, Rn, tn, X, px)
+        F = fundamental_from_poses(K, prev_R, prev_t, K, Rn, tn)
+        ph = jnp.concatenate([px_prev, jnp.ones_like(px_prev[:, :1])], -1)
+        ch = jnp.concatenate([px, jnp.ones_like(px[:, :1])], -1)
+        l = ph @ F.T
+        r2 = jnp.einsum("ni,ni->n", ch, l) / jnp.maximum(
+            jnp.linalg.norm(l[:, :2], axis=-1), 1e-9)
+        return r3, r2
+
+    def lm_inner(carry, _):
+        R, t, lam, w3, w2 = carry
+        zero = jnp.zeros((6,), X.dtype)
+        r3, r2 = residuals(zero, R, t)
+        J3 = jax.jacfwd(lambda xi: residuals(xi, R, t)[0])(zero)  # [N,2,6]
+        J2 = jax.jacfwd(lambda xi: residuals(xi, R, t)[1])(zero)  # [N,6]
+        H = jnp.einsum("n,nki,nkj->ij", w3, J3, J3) \
+            + jnp.einsum("n,ni,nj->ij", w2, J2, J2)
+        g = jnp.einsum("n,nki,nk->i", w3, J3, r3) \
+            + jnp.einsum("n,ni,n->i", w2, J2, r2)
+        cost = jnp.sum(w3 * jnp.sum(r3 * r3, -1)) + jnp.sum(w2 * r2 * r2)
+        Hd = H + lam * jnp.diag(jnp.diagonal(H) + 1e-6)
+        delta = -jnp.linalg.solve(Hd, g)
+        r3n, r2n = residuals(delta, R, t)
+        cost_new = jnp.sum(w3 * jnp.sum(r3n * r3n, -1)) \
+            + jnp.sum(w2 * r2n * r2n)
+        ok = (cost_new < cost) & jnp.all(jnp.isfinite(delta))
+        dR, dt = se3_exp(jnp.where(ok, delta, 0.0))
+        R = dR @ R
+        t = jnp.einsum("ij,j->i", dR, t) + dt
+        lam = jnp.clip(jnp.where(ok, lam * 0.3, lam * 5.0), 1e-8, 1e8)
+        return (R, t, lam, w3, w2), None
+
+    def outer(carry, k):
+        R, t, w3, w2 = carry
+        r3, r2 = residuals(jnp.zeros((6,), X.dtype), R, t)
+        e3 = jnp.linalg.norm(r3, axis=-1)
+        e2 = jnp.abs(r2)
+        rob3 = jnp.where(k < n_irls - 1, huber_weight(e3, tau),
+                         tukey_weight(e3, tau))
+        rob2 = jnp.where(k < n_irls - 1, huber_weight(e2, tau),
+                         tukey_weight(e2, tau))
+        lam0 = jnp.asarray(1e-3, X.dtype)
+        (R, t, _, _, _), _ = jax.lax.scan(
+            lm_inner, (R, t, lam0, base3 * rob3, base2 * rob2), None,
+            length=n_lm)
+        return (R, t, base3 * rob3, base2 * rob2), None
+
+    (R, t, w3, _), _ = jax.lax.scan(outer, (R0, t0, base3, base2),
+                                    jnp.arange(n_irls))
+    R = orthonormalize_fast(R)
+    r3, _ = _residuals(K, R, t, X, px)
+    err = jnp.linalg.norm(r3, axis=-1)
+    w_final = base3 * tukey_weight(err, tau)
+    return IRLSPoseResult(R=R, t=t, weights=w_final, err=err,
+                          cost=jnp.sum(w_final * err * err))

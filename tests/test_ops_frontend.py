@@ -162,3 +162,17 @@ def test_ncc_blocks_and_matrix(rng):
     ok2 = ok.at[0].set(False)
     s2 = ncc_score_matrix(blocks, blocks, ok2, ok2)
     assert float(s2[0, 1]) == -2.0
+
+
+def test_tvl1_flow_translation(rng):
+    """TV-L1 flow recovers a uniform translation (parity op for the
+    reference's unused v3d_gpuflow module)."""
+    from coslam_tpu.ops.flow import tvl1_flow
+    img0 = smooth_texture(rng, 64, 80)
+    img1 = warp_translate(img0, 3.0, -2.0)
+    flow = tvl1_flow(img0, img1, n_levels=3, n_warps=5, n_iters=30,
+                     lam=0.5)
+    # flow maps img0 pixels to img1 positions: content moved by (+3, -2)
+    inner = np.asarray(flow[0, 12:-12, 12:-12])
+    med = np.median(inner.reshape(-1, 2), axis=0)
+    np.testing.assert_allclose(med, [3.0, -2.0], atol=0.5)

@@ -211,3 +211,37 @@ def test_pose_graph_unknown_scale_edge(rng):
     t_sol, scales = solve_translations(pg, R_sol, num_scales=1)
     np.testing.assert_allclose(np.asarray(t_sol), ts, atol=1e-2)
     assert abs(float(scales[0]) - true_scale) < 0.05 * true_scale
+
+
+def test_irls_pose_epi_rescues_sparse_3d(rng):
+    """With very few 3D points, the epipolar 2D-2D terms must still pin
+    the pose (the intraCamEstimateEpi role)."""
+    from coslam_tpu.solvers.pose import irls_pose_epi
+    X, R, t, px, _ = make_pose_problem(rng, n=150, noise=0.2,
+                                       outlier_frac=0.0)
+    # previous pose: small motion before the current one
+    dR = np.asarray(se3.so3_exp(jnp.array([0.01, -0.02, 0.01],
+                                          dtype=jnp.float32)))
+    R_prev = dR.T @ R
+    t_prev = t - np.array([0.05, 0.0, 0.02], dtype=np.float32)
+    Xc_prev = X @ R_prev.T + t_prev
+    px_prev = ((Xc_prev[:, :2] / Xc_prev[:, 2:3]) * 500.0
+               + np.array([320.0, 240.0])).astype(np.float32)
+    valid3 = np.zeros(150, bool)
+    valid3[:8] = True                 # only 8 mapped points
+    valid2 = np.ones(150, bool)
+    R0 = jnp.asarray(R_prev)
+    t0 = jnp.asarray(t_prev)
+    res = irls_pose_epi(jnp.asarray(K), R0, t0, jnp.asarray(X),
+                        jnp.asarray(px), jnp.asarray(valid3),
+                        jnp.asarray(R_prev), jnp.asarray(t_prev),
+                        jnp.asarray(px_prev), jnp.asarray(valid2), 10.0)
+    assert rot_angle_deg(np.asarray(res.R), R) < 0.2
+    np.testing.assert_allclose(np.asarray(res.t), t, atol=0.05)
+    # sanity: 8 points alone with plain IRLS from the same init is OK too,
+    # but the epi variant must not be worse
+    res0 = irls_pose(jnp.asarray(K), R0, t0, jnp.asarray(X),
+                     jnp.asarray(px), jnp.asarray(valid3), 10.0)
+    e_epi = rot_angle_deg(np.asarray(res.R), R)
+    e_plain = rot_angle_deg(np.asarray(res0.R), R)
+    assert e_epi <= e_plain + 0.05
