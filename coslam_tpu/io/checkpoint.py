@@ -1,0 +1,109 @@
+"""Checkpoint / resume for a running SLAM engine.
+
+The reference has NO mid-run checkpointing (SURVEY.md §5 — end-of-run
+export only, debug-only snapshot loads); this is a deliberate capability
+addition. The full device state (a pytree of fixed-shape arrays) plus the
+host-side logs round-trip through one compressed npz.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+
+from coslam_tpu.slam.state import (SlamState, TrackTable, MapPoints,
+                                   KeyframeStore)
+
+_FORMAT_VERSION = 1
+
+
+def _flatten_state(state: SlamState) -> dict:
+    out = {}
+
+    def add(prefix, nt):
+        for name, val in nt._asdict().items():
+            if hasattr(val, "_asdict"):
+                add(f"{prefix}{name}.", val)
+            else:
+                out[f"{prefix}{name}"] = np.asarray(val)
+
+    add("state.", state)
+    return out
+
+
+def _unflatten_state(d: dict) -> SlamState:
+    def build(cls, prefix):
+        kw = {}
+        for name, ann in cls.__annotations__.items():
+            key = f"{prefix}{name}"
+            if key in d:
+                kw[name] = jnp.asarray(d[key])
+            else:
+                sub = {TrackTable: "tracks", MapPoints: "mappts",
+                       KeyframeStore: "kfs"}
+                for sub_cls, sub_name in sub.items():
+                    if name == sub_name:
+                        kw[name] = build(sub_cls, f"{prefix}{name}.")
+                        break
+        return cls(**kw)
+
+    return build(SlamState, "state.")
+
+
+def save_checkpoint(path: str, engine):
+    """Write the engine's full state (device + host logs) to ``path``."""
+    arrays = _flatten_state(engine.state)
+    meta = {
+        "version": _FORMAT_VERSION,
+        "frame": engine.frame,
+        "bootstrapped": engine.bootstrapped,
+        "kf_frames": engine.kf_frames,
+        "group_id": engine.group_id.tolist(),
+        "last_merge": engine._last_merge,
+        "merge_log": engine.merge_log,
+    }
+    arrays["meta"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    arrays["kf_inliers"] = engine._kf_inliers
+    C = engine.cfg.num_cameras
+    for c in range(C):
+        if engine.traj[c]:
+            arrays[f"traj_R.{c}"] = np.stack([p[0] for p in engine.traj[c]])
+            arrays[f"traj_t.{c}"] = np.stack([p[1] for p in engine.traj[c]])
+        if engine.rel[c]:
+            arrays[f"rel_R.{c}"] = np.stack([r[0] for r in engine.rel[c]])
+            arrays[f"rel_t.{c}"] = np.stack([r[1] for r in engine.rel[c]])
+    np.savez_compressed(path, **arrays)
+
+
+def load_checkpoint(path: str, engine):
+    """Restore a checkpoint into an engine built with the same config.
+    The engine continues exactly where it left off (feed the next frame);
+    the caller must also re-feed the previous frame's images first so the
+    tracker has its reference pyramid (engine.pyr_prev)."""
+    d = dict(np.load(path, allow_pickle=False))
+    meta = json.loads(bytes(d.pop("meta")).decode())
+    assert meta["version"] == _FORMAT_VERSION
+    engine.state = _unflatten_state(d)
+    engine.frame = int(meta["frame"])
+    engine.bootstrapped = bool(meta["bootstrapped"])
+    engine.kf_frames = list(meta["kf_frames"])
+    engine.group_id = np.array(meta["group_id"], np.int32)
+    engine._last_merge = int(meta["last_merge"])
+    engine.merge_log = list(meta["merge_log"])
+    engine._kf_inliers = d.pop("kf_inliers")
+    C = engine.cfg.num_cameras
+    engine.traj = [[] for _ in range(C)]
+    engine.rel = [[] for _ in range(C)]
+    for c in range(C):
+        if f"traj_R.{c}" in d:
+            Rs = d[f"traj_R.{c}"]
+            ts = d[f"traj_t.{c}"]
+            engine.traj[c] = [(Rs[i], ts[i]) for i in range(Rs.shape[0])]
+        if f"rel_R.{c}" in d:
+            Rs = d[f"rel_R.{c}"]
+            ts = d[f"rel_t.{c}"]
+            engine.rel[c] = [(Rs[i], ts[i]) for i in range(Rs.shape[0])]
+    return engine

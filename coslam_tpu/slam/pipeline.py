@@ -41,8 +41,11 @@ class CoSlamEngine:
         Rs, ts = eng.trajectory(0)                 # corrected, per camera
     """
 
-    def __init__(self, cfg: SlamConfig, K: np.ndarray, kc: np.ndarray):
+    def __init__(self, cfg: SlamConfig, K: np.ndarray, kc: np.ndarray,
+                 profile: bool = False):
         self.cfg = cfg
+        self.profile = profile
+        self.timing: dict[str, float] = {}
         C = cfg.num_cameras
         assert K.shape == (C, 3, 3)
         self.K = jnp.asarray(K, jnp.float32)
@@ -67,21 +70,44 @@ class CoSlamEngine:
     def img_hw(self):
         return (self.cfg.image_height, self.cfg.image_width)
 
+    def _tick(self, name: str, t0: float) -> float:
+        """Per-stage wall-clock accumulation (the reference's m_tm* fields,
+        SL_CoSLAM.h:98-108). With profile=True the device is synced first
+        so the numbers are honest execution times, not dispatch times."""
+        import time
+        if self.profile:
+            _ = np.asarray(self.state.frame)
+        t1 = time.perf_counter()
+        self.timing[name] = self.timing.get(name, 0.0) + (t1 - t0)
+        return t1
+
+    def resume_reference_frame(self, images: np.ndarray):
+        """After load_checkpoint: rebuild the tracker's reference pyramid
+        from the last processed frame's images."""
+        self.pyr_prev = build_pyramid(jnp.asarray(images, jnp.float32),
+                                      self.cfg.klt.n_levels)
+
     def process_frame(self, images: np.ndarray) -> dict:
+        import time
         cfg = self.cfg
+        t0 = time.perf_counter()
         imgs = jnp.asarray(images, jnp.float32)
         pyr = build_pyramid(imgs, cfg.klt.n_levels)
+        t0 = self._tick("pyramid", t0)
         stats = {"frame": self.frame}
         if self.frame == 0:
             self._first_frame(pyr)
             if cfg.num_cameras > 1:
                 stats["bootstrap"] = self._bootstrap_multicam(pyr)
         else:
+            import time as _time
+            _tt = _time.perf_counter()
             self.state = self.state._replace(
                 tracks=steps.advance_tracks(
                     self.pyr_prev, pyr, self.state.tracks, self.K, self.kc,
                     self.state.frame + 1, cfg),
                 frame=self.state.frame + 1)
+            self._tick("tracking", _tt)
             if not self.bootstrapped:
                 if cfg.num_cameras > 1:
                     stats["bootstrap"] = self._bootstrap_multicam(pyr)
@@ -234,9 +260,11 @@ class CoSlamEngine:
 
     # ------------------------------------------------------------------
     def _tracked_frame(self, pyr) -> dict:
+        import time
         cfg = self.cfg
         C = cfg.num_cameras
         p = cfg.p
+        t0 = time.perf_counter()
         out = steps.pose_update(self.state, self.K, self.kc, self.img_hw, cfg)
         self.state = self.state._replace(
             R=out.R, t=out.t, tracks=out.tracks, mappts=out.mappts)
@@ -253,6 +281,7 @@ class CoSlamEngine:
                 self.state = self.state._replace(R=R, t=t)
                 joint = True
         self.state = steps.push_pose_history(self.state)
+        t0 = self._tick("pose_update", t0)
         if C > 1:
             from coslam_tpu.slam.classify import (detect_dynamic_features,
                                                   classify_map_points)
@@ -276,9 +305,11 @@ class CoSlamEngine:
                     and self.frame - self._last_merge
                     >= p.merge_min_interval):
                 self._try_merge(pyr)
+        t0 = self._tick("classify+group", t0)
         mappts, tracks, n_new = steps.new_map_points(
             self.state, pyr, self.K, self.kc, cfg)
         self.state = self.state._replace(mappts=mappts, tracks=tracks)
+        t0 = self._tick("new_map_points", t0)
         n_inter = 0
         if C > 1 and (self.frame % p.intercam_map_interval == 0):
             from coslam_tpu.slam.grouping import group_adjacent_pairs
@@ -292,6 +323,7 @@ class CoSlamEngine:
             self.state, n_reg = register_map_points(self.state, pyr, self.K,
                                                     cfg,
                                                     max_age=p.num_act_frames)
+        t0 = self._tick("intercam+register", t0)
         stats = {
             "n_inliers": n_inl,
             "coverage": cover,
@@ -310,6 +342,7 @@ class CoSlamEngine:
             self._kf_inliers = n_inl.copy()
             if (len(self.kf_frames) % cfg.p.ba_cadence) == 0:
                 self._run_ba()
+                t0 = self._tick("ba", t0)
             stats["keyframe"] = True
         self.state = self.state._replace(
             mappts=steps.lifecycle_update(self.state.mappts,

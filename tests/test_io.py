@@ -84,3 +84,42 @@ def test_input_and_calib_parsing(tmp_path):
     K2, kc2 = read_calib_file(spec.calib_paths[0])
     np.testing.assert_allclose(K2, K, rtol=1e-6)
     np.testing.assert_allclose(kc2, kc, rtol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """Save mid-run, restore into a fresh engine, verify identical
+    continuation (the reference has no checkpointing at all)."""
+    import jax
+    from coslam_tpu.config import small_test_config
+    from coslam_tpu.io.synthetic import (make_room, orbit_trajectory,
+                                         render_sequence)
+    from coslam_tpu.io.checkpoint import save_checkpoint, load_checkpoint
+    from coslam_tpu.slam.pipeline import CoSlamEngine
+
+    rng = np.random.default_rng(0)
+    cfg = small_test_config(num_cameras=1, h=120, w=160)
+    K = np.array([[[150.0, 0, 80], [0, 150.0, 60], [0, 0, 1]]], np.float32)
+    kc = np.zeros((1, 5), np.float32)
+    planes = make_room(rng, size=10.0)
+    F = 30
+    Rs_gt, ts_gt = orbit_trajectory(F, forward=0.06)
+    frames = render_sequence(planes, K[0], Rs_gt, ts_gt, 120, 160)
+    eng = CoSlamEngine(cfg, K, kc)
+    for f in range(20):
+        eng.process_frame(frames[f][None])
+    ckpt = str(tmp_path / "ck.npz")
+    save_checkpoint(ckpt, eng)
+    # continue the original
+    for f in range(20, F):
+        eng.process_frame(frames[f][None])
+    # restore into a fresh engine and continue identically
+    eng2 = CoSlamEngine(cfg, K, kc)
+    load_checkpoint(ckpt, eng2)
+    assert eng2.frame == 20 and eng2.bootstrapped == eng.bootstrapped
+    eng2.resume_reference_frame(frames[19][None])
+    for f in range(20, F):
+        eng2.process_frame(frames[f][None])
+    R1, t1 = eng.trajectory(0, correct=False)
+    R2, t2 = eng2.trajectory(0, correct=False)
+    np.testing.assert_allclose(t2, t1, atol=1e-4)
+    np.testing.assert_allclose(R2, R1, atol=1e-4)
