@@ -23,6 +23,8 @@ import time
 
 import numpy as np
 
+_T_START = time.perf_counter()
+
 
 def main():
     import jax
@@ -71,7 +73,13 @@ def main():
     baseline_fps = 15.0
 
     # BA throughput: a production-shaped window (5 keyframes x 3 cameras,
-    # 2048 points, ~6k observations), LM iterations per second
+    # 2048 points, ~6k observations), LM iterations per second.
+    # NOTE: every executable recompiles per process on the tunneled TPU
+    # (the remote-compile path bypasses jax's persistent cache), so the BA
+    # section is skipped if the run is already over budget — the primary
+    # frames/s metric must always be printed.
+    ba_iters_s = None
+    elapsed = time.perf_counter() - _T_START
     from coslam_tpu.solvers.ba import BAProblem, bundle_adjust
     from coslam_tpu.geometry.se3 import so3_exp
     M, Ppts = 15, 2048
@@ -95,26 +103,29 @@ def main():
         obs_px=jnp.asarray(px), obs_valid=jnp.ones(len(oc), bool),
         cam_fixed=jnp.asarray(cam_fixed),
         point_fixed=jnp.zeros(Ppts, bool))
-    inner = 30
-    res = bundle_adjust(prob, max_err=10.0, max_iter=2, inner_iter=inner)
-    _ = np.asarray(res.cost)
-    reps = 10
-    t0 = time.perf_counter()
-    c = prob
-    for _ in range(reps):
-        res = bundle_adjust(c._replace(X=res.X), max_err=10.0, max_iter=2,
-                            inner_iter=inner)
-    _ = np.asarray(res.cost)
-    ba_iters_s = reps * 2 * inner / (time.perf_counter() - t0)
+    if elapsed < 420.0:
+        inner = 30
+        res = bundle_adjust(prob, max_err=10.0, max_iter=2, inner_iter=inner)
+        _ = np.asarray(res.cost)
+        reps = 10
+        t0 = time.perf_counter()
+        c = prob
+        for _ in range(reps):
+            res = bundle_adjust(c._replace(X=res.X), max_err=10.0,
+                                max_iter=2, inner_iter=inner)
+        _ = np.asarray(res.cost)
+        ba_iters_s = reps * 2 * inner / (time.perf_counter() - t0)
 
-    print(json.dumps({
+    out = {
         "metric": "tracked_frames_per_s_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s (3 cams, 640x480, 1024 feats)",
         "vs_baseline": round(fps / baseline_fps, 2),
-        "ba_lm_iters_per_s": round(ba_iters_s, 1),
         "ba_problem": "15 cams x 2048 pts x 6144 obs",
-    }))
+    }
+    if ba_iters_s is not None:
+        out["ba_lm_iters_per_s"] = round(ba_iters_s, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

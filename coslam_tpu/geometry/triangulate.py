@@ -55,6 +55,45 @@ def triangulate_multiview(Rs: jnp.ndarray, ts: jnp.ndarray, xns: jnp.ndarray,
     return h[..., :3] / wh[..., None]
 
 
+def inv3x3_sym(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched symmetric 3x3 inverse (cofactors)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    det = a * co00 + b * co01 + c * co02
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    inv = jnp.stack([
+        jnp.stack([co00, co01, co02], axis=-1),
+        jnp.stack([co01, co11, co12], axis=-1),
+        jnp.stack([co02, co12, co22], axis=-1),
+    ], axis=-2)
+    return inv / det[..., None, None]
+
+
+def triangulate_multiview_linear(Rs: jnp.ndarray, ts: jnp.ndarray,
+                                 xns: jnp.ndarray,
+                                 mask: jnp.ndarray) -> jnp.ndarray:
+    """Inhomogeneous multi-view DLT: solve A[:, :3] X = -A[:, 3] via 3x3
+    normal equations in closed form. ~10x cheaper than the eigh-based
+    homogeneous solve (no batched eigendecomposition) and equivalent for
+    finite points; use the eigh variant when points near infinity matter.
+    Shapes as triangulate_multiview.
+    """
+    rows = _dlt_rows(Rs, ts, xns)                       # [..., V, 2, 4]
+    rows = rows * mask[..., None, None].astype(rows.dtype)
+    A = rows.reshape(*rows.shape[:-3], -1, 4)           # [..., 2V, 4]
+    M = A[..., :3]
+    b = -A[..., 3]
+    H = jnp.einsum("...ki,...kj->...ij", M, M) + 1e-9 * jnp.eye(3, dtype=A.dtype)
+    g = jnp.einsum("...ki,...k->...i", M, b)
+    return jnp.einsum("...ij,...j->...i", inv3x3_sym(H), g)
+
+
 def triangulate_two_view(R1, t1, R2, t2, xn1, xn2) -> jnp.ndarray:
     """binTriangulate equivalent. All args broadcast; xn* are [..., 2]."""
     Rs = jnp.stack([jnp.broadcast_to(R1, xn1.shape[:-1] + (3, 3)),
@@ -122,7 +161,7 @@ def triangulation_cov(Ks, Rs, ts, X, mask, pixel_var: float = 1.0) -> jnp.ndarra
     J = J * mask[..., None, None].astype(J.dtype)
     H = jnp.einsum("...vki,...vkj->...ij", J, J)  # [..., 3, 3]
     H = H + 1e-9 * jnp.eye(3, dtype=H.dtype)
-    return pixel_var * jnp.linalg.inv(H)
+    return pixel_var * inv3x3_sym(H)
 
 
 def seq_triangulate_update(K, R, t, px_undist, X, cov,

@@ -70,10 +70,12 @@ def greedy_mutual_match(score: jnp.ndarray, min_score: float = 0.6,
         mutual = (ba[bb] == jnp.arange(A)) & (sv > min_score)
         a_to_b = jnp.where(mutual & (a_to_b < 0), bb, a_to_b)
         best_s = jnp.where(mutual & (best_s <= NCC_INVALID), sv, best_s)
-        # zero out matched rows/cols
+        # zero out matched rows/cols (max-scatter: unmatched rows target
+        # index B and get dropped — a .set() here could race a True at
+        # index 0 with the False written by unmatched rows)
         row_dead = a_to_b >= 0
-        col_dead = jnp.zeros((B,), bool).at[jnp.where(row_dead, a_to_b, 0)
-                                            ].set(row_dead, mode="drop")
+        col_dead = jnp.zeros((B,), bool).at[jnp.where(row_dead, a_to_b, B)
+                                            ].max(row_dead, mode="drop")
         s = jnp.where(row_dead[:, None] | col_dead[None, :],
                       NCC_INVALID, s)
         return s, a_to_b, best_s

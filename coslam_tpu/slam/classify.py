@@ -30,8 +30,8 @@ import jax.numpy as jnp
 from coslam_tpu.config import SlamConfig
 from coslam_tpu.geometry.camera import (pixel_to_normalized, project_points)
 from coslam_tpu.geometry.epipolar import fundamental_from_poses
-from coslam_tpu.geometry.triangulate import (triangulate_multiview,
-                                             triangulation_cov)
+from coslam_tpu.geometry.triangulate import (
+    triangulate_multiview_linear, triangulation_cov)
 from coslam_tpu.slam.state import (SlamState, MapPoints, ST_ALIVE, ST_FALSE,
                                    PT_STATIC, PT_DYNAMIC, PT_UNCERTAIN)
 
@@ -120,7 +120,7 @@ def classify_map_points(state: SlamState, K: jnp.ndarray,
     xn = pixel_to_normalized(obs_px, K[None])              # [P, C, 2]
     Rb = jnp.broadcast_to(state.R[None], (P, C, 3, 3))
     tb = jnp.broadcast_to(state.t[None], (P, C, 3))
-    X_cur = triangulate_multiview(Rb, tb, xn, obs_ok)
+    X_cur = triangulate_multiview_linear(Rb, tb, xn, obs_ok)
     pr = project_points(K[None], Rb, tb, X_cur[:, None])
     err = jnp.linalg.norm(pr - obs_px, axis=-1)            # [P, C]
     err = jnp.where(obs_ok, err, 0.0)

@@ -48,6 +48,14 @@ def frame_step(state: SlamState, pyr_prev, imgs_cur: jnp.ndarray,
     state = state._replace(R=out.R, t=out.t, tracks=out.tracks,
                            mappts=out.mappts)
     state = steps.push_pose_history(state)
+    if cfg.num_cameras > 1:
+        # the multi-camera per-frame stages fuse in too (dynamic-feature
+        # voting + whole-map classification)
+        from coslam_tpu.slam.classify import (detect_dynamic_features,
+                                              classify_map_points)
+        state = detect_dynamic_features(state, K, cfg)
+        cls = classify_map_points(state, K, cfg)
+        state = state._replace(mappts=cls.mappts)
     mappts, tracks2, n_new = steps.new_map_points(state, pyr_cur, K, kc, cfg)
     state = state._replace(mappts=mappts, tracks=tracks2)
     stats = FrameStats(

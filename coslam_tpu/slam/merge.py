@@ -282,11 +282,64 @@ def fuse_duplicate_points(state: SlamState, cfg: SlamConfig,
         return state
     Xa = np.asarray(mp.xyz)[ia]
     Xb = np.asarray(mp.xyz)[ib]
-    # nearest-neighbor fuse (sizes are small; exact O(A*B) distance)
-    d = np.linalg.norm(Xa[:, None] - Xb[None, :], axis=-1)
-    dup_b = ib[(d.min(axis=0) < dist_thresh)]
+    # nearest-neighbor fuse; chunked so a full-capacity map can't blow up
+    # host memory with an A x B distance matrix
+    dup_mask = np.zeros(len(ib), bool)
+    for s in range(0, len(ib), 512):
+        blk = Xb[s:s + 512]
+        d = np.linalg.norm(Xa[:, None] - blk[None, :], axis=-1)
+        dup_mask[s:s + 512] = d.min(axis=0) < dist_thresh
+    dup_b = ib[dup_mask]
     if len(dup_b) == 0:
         return state
     status = np.asarray(mp.status).copy()
     status[dup_b] = ST_FALSE
     return state._replace(mappts=mp._replace(status=jnp.asarray(status)))
+
+
+def fuse_close_points(state: SlamState, cfg: SlamConfig,
+                      dist_thresh: float = 0.25) -> tuple[SlamState, int]:
+    """Periodic global duplicate unification (checkUnify/refineMapPoint,
+    SL_CoSLAM.cpp:561-714, run by currentMapPointsRegister every 50th
+    frame): alive static points closer than ``dist_thresh`` collapse to
+    the older slot; the newer slot goes false and its features re-register
+    onto the survivor in later frames."""
+    mp = state.mappts
+    alive = np.asarray((mp.status == ST_ALIVE) & (mp.ptype == PT_STATIC))
+    idx = np.nonzero(alive)[0]
+    if len(idx) < 2:
+        return state, 0
+    X = np.asarray(mp.xyz)[idx]
+    ff = np.asarray(mp.first_frame)[idx]
+    ncc = np.asarray(mp.ncc)[idx]            # [n, C, B] pre-normalized
+    ncc_ok = np.asarray(mp.ncc_valid)[idx]
+    kill = np.zeros(len(idx), bool)
+    for s0 in range(0, len(idx), 512):
+        blk = slice(s0, min(s0 + 512, len(idx)))
+        d = np.linalg.norm(X[blk][:, None] - X[None, :], axis=-1)
+        for bi, gi in enumerate(range(blk.start, blk.stop)):
+            close = np.nonzero(d[bi] < dist_thresh)[0]
+            for cj in close:
+                if cj == gi or kill[gi] or kill[cj]:
+                    continue
+                # only fuse when the stored appearances agree (checkUnify
+                # matches NCC blocks; pure proximity would eat legitimate
+                # close-by structure)
+                both = ncc_ok[gi] & ncc_ok[cj]
+                if not both.any():
+                    continue
+                score = max(float(np.dot(ncc[gi, c], ncc[cj, c]))
+                            for c in np.nonzero(both)[0])
+                if score < 0.8:
+                    continue
+                # keep the older point (established geometry)
+                if ff[gi] <= ff[cj]:
+                    kill[cj] = True
+                else:
+                    kill[gi] = True
+    n = int(kill.sum())
+    if n == 0:
+        return state, 0
+    status = np.asarray(mp.status).copy()
+    status[idx[kill]] = ST_FALSE
+    return state._replace(mappts=mp._replace(status=jnp.asarray(status))), n

@@ -344,6 +344,13 @@ class CoSlamEngine:
                 self._run_ba()
                 t0 = self._tick("ba", t0)
             stats["keyframe"] = True
+        # periodic duplicate unification (currentMapPointsRegister merges
+        # every 50th frame, SL_CoSLAM.cpp:834-852)
+        if self.frame > 0 and self.frame % 50 == 0:
+            from coslam_tpu.slam.merge import fuse_close_points
+            self.state, n_fused = fuse_close_points(self.state, cfg)
+            if n_fused:
+                stats["n_fused"] = n_fused
         self.state = self.state._replace(
             mappts=steps.lifecycle_update(self.state.mappts,
                                           self.state.frame, cfg))

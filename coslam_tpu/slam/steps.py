@@ -219,8 +219,11 @@ def pose_update(state: SlamState, K: jnp.ndarray, kc: jnp.ndarray,
         cov = cov.at[mi[c]].set(jnp.where(upd[:, None, None], Cn, Cp),
                                 mode="drop")
     # observation bookkeeping
+    # NOTE: traced -1 indices WRAP (even with mode="drop"); the
+    # out-of-range sentinel must be P
+    P = mappts.xyz.shape[0]
     seen = jnp.zeros_like(mappts.last_obs, dtype=bool)
-    seen = seen.at[jnp.where(mapped & ~outlier, tracks.mpt, -1)].set(
+    seen = seen.at[jnp.where(mapped & ~outlier, tracks.mpt, P)].set(
         True, mode="drop")
     last_obs = jnp.where(seen, state.frame, mappts.last_obs)
     # ownership: lowest camera currently observing (min reduction via
@@ -228,7 +231,7 @@ def pose_update(state: SlamState, K: jnp.ndarray, kc: jnp.ndarray,
     owner = mappts.owner
     for c in range(C - 1, -1, -1):
         sel = mapped[c] & ~outlier[c]
-        owner = owner.at[jnp.where(sel, tracks.mpt[c], -1)].set(
+        owner = owner.at[jnp.where(sel, tracks.mpt[c], P)].set(
             c, mode="drop")
     mappts = mappts._replace(xyz=xyz, cov=cov, last_obs=last_obs,
                              owner=owner)

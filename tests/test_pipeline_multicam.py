@@ -113,3 +113,17 @@ def test_three_cam_intercam_mapping_contributes(three_cam_dynamic):
     eng, _, _, _ = three_cam_dynamic
     total_inter = sum(s.get("n_intercam_points", 0) for s in eng.stats_log)
     assert total_inter > 0
+
+
+def test_five_cameras_run():
+    """BASELINE config 5's SLAM content (five cameras, one device; the
+    cross-device sharding of the same computation is covered by
+    tests/test_parallel.py and dryrun_multichip)."""
+    rng = np.random.default_rng(0)
+    frames, Rs_gt, ts_gt = render_rig(rng, C=5, F=35, baseline=0.7)
+    eng = run_engine(5, frames)
+    assert eng.bootstrapped
+    assert (eng.group_id == eng.group_id[0]).all()
+    for c in range(5):
+        ate = ate_rmse(*eng.trajectory(c, True), Rs_gt[c], ts_gt[c])
+        assert ate < 0.5, f"cam{c} ATE {ate}"
