@@ -39,18 +39,29 @@ def export_results(out_dir: str, engine, sources: list[str] | None = None):
                 vals = " ".join(f"{v:.8f}" for v in
                                 np.concatenate([Rs[fr].reshape(-1), ts[fr]]))
                 f.write(f"{fr} {vals}\n")
-    # current mapped features (final frame snapshot)
-    tracks = engine.state.tracks
-    pos = np.asarray(tracks.pos)
-    mpt = np.asarray(tracks.mpt)
-    valid = np.asarray(tracks.valid)
-    fr = int(engine.state.frame)
-    for c in range(C):
-        with open(os.path.join(out_dir, f"{c}_featpts.txt"), "w") as f:
-            for n in range(pos.shape[1]):
-                if valid[c, n] and mpt[c, n] >= 0:
-                    f.write(f"{fr} {mpt[c, n]} {pos[c, n, 0]:.3f} "
-                            f"{pos[c, n, 1]:.3f}\n")
+    # mapped features: full per-frame history when the engine logged it
+    # (log_features=True), else the final-frame snapshot
+    if getattr(engine, "feat_log", None):
+        files = [open(os.path.join(out_dir, f"{c}_featpts.txt"), "w")
+                 for c in range(C)]
+        for (fr, c, ids, xy) in engine.feat_log:
+            for k in range(len(ids)):
+                files[c].write(f"{fr} {ids[k]} {xy[k, 0]:.3f} "
+                               f"{xy[k, 1]:.3f}\n")
+        for f in files:
+            f.close()
+    else:
+        tracks = engine.state.tracks
+        pos = np.asarray(tracks.pos)
+        mpt = np.asarray(tracks.mpt)
+        valid = np.asarray(tracks.valid)
+        fr = int(engine.state.frame)
+        for c in range(C):
+            with open(os.path.join(out_dir, f"{c}_featpts.txt"), "w") as f:
+                for n in range(pos.shape[1]):
+                    if valid[c, n] and mpt[c, n] >= 0:
+                        f.write(f"{fr} {mpt[c, n]} {pos[c, n, 0]:.3f} "
+                                f"{pos[c, n, 1]:.3f}\n")
 
 
 def load_campose(path: str):

@@ -54,6 +54,11 @@ def native_lib():
     lib.fl_open.argtypes = [ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
                             ctypes.c_int, ctypes.c_int, ctypes.c_int,
                             ctypes.c_int]
+    lib.fl_open_at.restype = ctypes.c_void_p
+    lib.fl_open_at.argtypes = [ctypes.POINTER(ctypes.c_char_p),
+                               ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+                               ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                               ctypes.c_int]
     lib.fl_next.restype = ctypes.c_int
     lib.fl_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)]
     lib.fl_src_size.restype = ctypes.c_int
@@ -86,16 +91,20 @@ class FrameLoader:
     """Threaded multi-camera loader. Yields [C, H, W] float32 frames."""
 
     def __init__(self, paths: list[str], mode: int = MODE_RAW,
-                 out_hw: tuple[int, int] | None = None, ring: int = 4):
+                 out_hw: tuple[int, int] | None = None, ring: int = 4,
+                 start_frames: list[int] | None = None):
         self.paths = paths
         self.n_cams = len(paths)
         lib = native_lib()
         self._native = lib is not None
         out_h, out_w = out_hw if out_hw else (0, 0)
+        starts = start_frames or [0] * self.n_cams
         if self._native:
             arr = (ctypes.c_char_p * self.n_cams)(
                 *[p.encode() for p in paths])
-            self._h = lib.fl_open(arr, self.n_cams, mode, out_w, out_h, ring)
+            sarr = (ctypes.c_long * self.n_cams)(*starts)
+            self._h = lib.fl_open_at(arr, sarr, self.n_cams, mode, out_w,
+                                     out_h, ring)
             if not self._h:
                 raise IOError(f"native loader failed to open {paths}")
             w = ctypes.c_int()
@@ -117,6 +126,7 @@ class FrameLoader:
                 self._files.append(data)
             self.hw = out_hw or self._files[0].shape[1:]
             self._idx = 0
+            self._starts = starts
 
     def __iter__(self):
         return self
@@ -131,10 +141,11 @@ class FrameLoader:
                 raise StopIteration
             return out.astype(np.float32)
         frames = []
-        for data in self._files:
-            if self._idx >= data.shape[0]:
+        for c, data in enumerate(self._files):
+            src = self._idx + self._starts[c]
+            if src >= data.shape[0]:
                 raise StopIteration
-            fr = np.asarray(data[self._idx], np.float32)
+            fr = np.asarray(data[src], np.float32)
             if fr.shape != (h, w):
                 ys = (np.arange(h) * fr.shape[0] // h)
                 xs = (np.arange(w) * fr.shape[1] // w)

@@ -42,9 +42,11 @@ class CoSlamEngine:
     """
 
     def __init__(self, cfg: SlamConfig, K: np.ndarray, kc: np.ndarray,
-                 profile: bool = False):
+                 profile: bool = False, log_features: bool = False):
         self.cfg = cfg
         self.profile = profile
+        self.log_features = log_features   # per-frame mapped-feature log
+        self.feat_log: list[tuple] = []    # (frame, cam, ids, xy)
         self.timing: dict[str, float] = {}
         C = cfg.num_cameras
         assert K.shape == (C, 3, 3)
@@ -116,6 +118,15 @@ class CoSlamEngine:
             else:
                 stats.update(self._tracked_frame(pyr))
         self._record_pose()
+        if self.log_features and self.bootstrapped:
+            tr = self.state.tracks
+            pos = np.asarray(tr.pos)
+            mpt = np.asarray(tr.mpt)
+            ok = np.asarray(tr.valid) & (mpt >= 0)
+            for c in range(cfg.num_cameras):
+                sel = np.nonzero(ok[c])[0]
+                self.feat_log.append((self.frame, c, mpt[c, sel],
+                                      pos[c, sel]))
         self.pyr_prev = pyr
         self.frame += 1
         stats.setdefault("n_inliers", np.zeros(cfg.num_cameras))

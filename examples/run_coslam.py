@@ -53,14 +53,11 @@ def main():
             print(f"decoding {v} ...", flush=True)
             convert_video_to_raw(v, rp)
         raw_paths.append(rp)
-    loader = FrameLoader(raw_paths, mode=MODE_RAW)
+    loader = FrameLoader(raw_paths, mode=MODE_RAW,
+                         start_frames=spec.skip_frames)
     h, w = loader.hw
     cfg = SlamConfig(num_cameras=C, image_height=h, image_width=w)
     eng = CoSlamEngine(cfg, np.stack(Ks), np.stack(kcs))
-    # per-camera skip: drop frames before starting (reference nSkipFrms)
-    max_skip = max(spec.skip_frames)
-    for _ in range(max_skip):
-        next(loader)
     t0 = time.time()
     n = 0
     for frames in loader:

@@ -160,6 +160,7 @@ void resize_u8(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
 
 struct Loader {
   int n_cams, out_w, out_h, ring_size;
+  std::vector<long> start;   // per-camera first source frame (skip offsets)
   std::vector<CamReader> readers;
   std::vector<std::thread> workers;
   // ring[cam][slot]
@@ -172,7 +173,7 @@ struct Loader {
 
   void worker(int c) {
     std::vector<uint8_t> tmp((size_t)readers[c].src_w * readers[c].src_h);
-    long idx = 0;
+    long idx = 0;  // output index; source frame = start[c] + idx
     while (!stop.load()) {
       {
         std::unique_lock<std::mutex> lk(mu);
@@ -184,7 +185,7 @@ struct Loader {
       Frame fr;
       fr.index = idx;
       fr.data.resize((size_t)out_w * out_h);
-      bool ok = readers[c].read(idx, tmp.data());
+      bool ok = readers[c].read(start[c] + idx, tmp.data());
       if (ok) {
         resize_u8(tmp.data(), readers[c].src_w, readers[c].src_h,
                   fr.data.data(), out_w, out_h);
@@ -229,8 +230,16 @@ struct Loader {
 
 extern "C" {
 
+void* fl_open_at(const char** paths, const long* start, int n_cams,
+                 int mode, int out_w, int out_h, int ring_size);
+
 void* fl_open(const char** paths, int n_cams, int mode, int out_w, int out_h,
               int ring_size) {
+  return fl_open_at(paths, nullptr, n_cams, mode, out_w, out_h, ring_size);
+}
+
+void* fl_open_at(const char** paths, const long* start, int n_cams, int mode,
+                 int out_w, int out_h, int ring_size) {
   auto* L = new Loader();
   L->n_cams = n_cams;
   L->out_w = out_w;
@@ -251,6 +260,9 @@ void* fl_open(const char** paths, int n_cams, int mode, int out_w, int out_h,
   }
   L->ring.assign(n_cams, std::vector<Frame>(L->ring_size));
   L->head.assign(n_cams, 0);
+  L->start.assign(n_cams, 0);
+  if (start)
+    for (int c = 0; c < n_cams; ++c) L->start[c] = start[c];
   for (int c = 0; c < n_cams; ++c)
     L->workers.emplace_back(&Loader::worker, L, c);
   return L;
