@@ -67,6 +67,15 @@ def save_checkpoint(path: str, engine):
     arrays["meta"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
     arrays["kf_inliers"] = engine._kf_inliers
+    # the tracker's reference pyramid: storing it makes resume exact and
+    # self-contained (rebuilding it from images goes through a different
+    # XLA executable whose f32 rounding differs at the ulp level — enough
+    # to butterfly over a few frames)
+    if engine.pyr_prev is not None:
+        for li in range(len(engine.pyr_prev.imgs)):
+            arrays[f"pyr.imgs.{li}"] = np.asarray(engine.pyr_prev.imgs[li])
+            arrays[f"pyr.dxs.{li}"] = np.asarray(engine.pyr_prev.dxs[li])
+            arrays[f"pyr.dys.{li}"] = np.asarray(engine.pyr_prev.dys[li])
     C = engine.cfg.num_cameras
     for c in range(C):
         if engine.traj[c]:
@@ -80,9 +89,10 @@ def save_checkpoint(path: str, engine):
 
 def load_checkpoint(path: str, engine):
     """Restore a checkpoint into an engine built with the same config.
-    The engine continues exactly where it left off (feed the next frame);
-    the caller must also re-feed the previous frame's images first so the
-    tracker has its reference pyramid (engine.pyr_prev)."""
+    The engine continues exactly where it left off — feed the next
+    frame. (The reference pyramid is stored in the checkpoint; the
+    legacy ``resume_reference_frame`` path remains for checkpoints
+    without it.)"""
     d = dict(np.load(path, allow_pickle=False))
     meta = json.loads(bytes(d.pop("meta")).decode())
     assert meta["version"] == _FORMAT_VERSION
@@ -94,6 +104,17 @@ def load_checkpoint(path: str, engine):
     engine._last_merge = int(meta["last_merge"])
     engine.merge_log = list(meta["merge_log"])
     engine._kf_inliers = d.pop("kf_inliers")
+    pyr_keys = sorted(k for k in d if k.startswith("pyr.imgs."))
+    if pyr_keys:
+        from coslam_tpu.ops.pyramid import Pyramid
+        n_lvl = len(pyr_keys)
+        engine.pyr_prev = Pyramid(
+            imgs=tuple(jnp.asarray(d.pop(f"pyr.imgs.{li}"))
+                       for li in range(n_lvl)),
+            dxs=tuple(jnp.asarray(d.pop(f"pyr.dxs.{li}"))
+                      for li in range(n_lvl)),
+            dys=tuple(jnp.asarray(d.pop(f"pyr.dys.{li}"))
+                      for li in range(n_lvl)))
     C = engine.cfg.num_cameras
     engine.traj = [[] for _ in range(C)]
     engine.rel = [[] for _ in range(C)]

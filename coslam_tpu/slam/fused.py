@@ -31,6 +31,8 @@ class FrameStats(NamedTuple):
     med_err: jnp.ndarray     # [C]
     n_new_points: jnp.ndarray
     n_tracked: jnp.ndarray   # [C]
+    n_static: jnp.ndarray    # scalar (0 for mono: classify is multicam)
+    n_dynamic: jnp.ndarray   # scalar
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
@@ -56,10 +58,15 @@ def frame_step(state: SlamState, pyr_prev, imgs_cur: jnp.ndarray,
         state = detect_dynamic_features(state, K, cfg)
         cls = classify_map_points(state, K, cfg)
         state = state._replace(mappts=cls.mappts)
+        n_static, n_dynamic = cls.n_static, cls.n_dynamic
+    else:
+        n_static = jnp.zeros((), jnp.int32)
+        n_dynamic = jnp.zeros((), jnp.int32)
     mappts, tracks2, n_new = steps.new_map_points(state, pyr_cur, K, kc, cfg)
     state = state._replace(mappts=mappts, tracks=tracks2)
     stats = FrameStats(
         n_inliers=out.n_inliers, coverage=out.coverage,
         med_depth=out.med_depth, med_err=out.med_err,
-        n_new_points=n_new, n_tracked=jnp.sum(tracks2.valid, axis=1))
+        n_new_points=n_new, n_tracked=jnp.sum(tracks2.valid, axis=1),
+        n_static=n_static, n_dynamic=n_dynamic)
     return state, pyr_cur, stats

@@ -122,9 +122,10 @@ def intercam_map_pair(state: SlamState, pyr_cur, K: jnp.ndarray,
     return mp, tracks, jnp.sum(can)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "gate_scale"))
 def register_map_points(state: SlamState, pyr_cur, K: jnp.ndarray,
-                        cfg: SlamConfig, max_age: int | None = None):
+                        cfg: SlamConfig, max_age: int | None = None,
+                        gate_scale: float = 1.0):
     """Re-acquire unseen alive points per camera by projection + NCC
     (activeMapPointsRegister, SL_CoSLAM.cpp:1037-1109). Binds unmapped
     features to points whose projection lands within the error gate and
@@ -133,7 +134,7 @@ def register_map_points(state: SlamState, pyr_cur, K: jnp.ndarray,
     C, N = tracks.valid.shape
     P = mappts.xyz.shape[0]
     p = cfg.p
-    gate = jnp.sqrt(p.pixel_err_var) * 3.0
+    gate = jnp.sqrt(p.pixel_err_var) * 3.0 * gate_scale
     alive = (mappts.status == ST_ALIVE) & (mappts.ptype == PT_STATIC)
     if max_age is not None:
         alive = alive & (state.frame - mappts.last_obs <= max_age)

@@ -42,9 +42,14 @@ class CoSlamEngine:
     """
 
     def __init__(self, cfg: SlamConfig, K: np.ndarray, kc: np.ndarray,
-                 profile: bool = False, log_features: bool = False):
+                 profile: bool = False, log_features: bool = False,
+                 use_fused: bool = True):
         self.cfg = cfg
         self.profile = profile
+        # one fused device call for the per-frame core (tracking, pose,
+        # classification, mapping) instead of ~6 dispatches — significant
+        # when host<->device round trips are expensive
+        self.use_fused = use_fused
         self.log_features = log_features   # per-frame mapped-feature log
         self.feat_log: list[tuple] = []    # (frame, cam, ids, xy)
         self.timing: dict[str, float] = {}
@@ -94,6 +99,21 @@ class CoSlamEngine:
         cfg = self.cfg
         t0 = time.perf_counter()
         imgs = jnp.asarray(images, jnp.float32)
+        if self.bootstrapped and self.use_fused and self.frame > 0:
+            from coslam_tpu.slam.fused import frame_step
+            self.state, pyr, fs = frame_step(self.state, self.pyr_prev,
+                                             imgs, self.K, self.kc, cfg)
+            t0 = self._tick("core_fused", t0)
+            stats = {"frame": self.frame}
+            stats.update(self._host_cadence(pyr, fs))
+            self._record_pose()
+            if self.log_features:
+                self._log_features()
+            self.pyr_prev = pyr
+            self.frame += 1
+            stats.setdefault("n_inliers", np.zeros(cfg.num_cameras))
+            self.stats_log.append(stats)
+            return stats
         pyr = build_pyramid(imgs, cfg.klt.n_levels)
         t0 = self._tick("pyramid", t0)
         stats = {"frame": self.frame}
@@ -119,14 +139,7 @@ class CoSlamEngine:
                 stats.update(self._tracked_frame(pyr))
         self._record_pose()
         if self.log_features and self.bootstrapped:
-            tr = self.state.tracks
-            pos = np.asarray(tr.pos)
-            mpt = np.asarray(tr.mpt)
-            ok = np.asarray(tr.valid) & (mpt >= 0)
-            for c in range(cfg.num_cameras):
-                sel = np.nonzero(ok[c])[0]
-                self.feat_log.append((self.frame, c, mpt[c, sel],
-                                      pos[c, sel]))
+            self._log_features()
         self.pyr_prev = pyr
         self.frame += 1
         stats.setdefault("n_inliers", np.zeros(cfg.num_cameras))
@@ -269,6 +282,93 @@ class CoSlamEngine:
         self._kf_inliers = np.full(C, float(jnp.sum(good)))
         return state
 
+    def _log_features(self):
+        tr = self.state.tracks
+        pos = np.asarray(tr.pos)
+        mpt = np.asarray(tr.mpt)
+        ok = np.asarray(tr.valid) & (mpt >= 0)
+        for c in range(self.cfg.num_cameras):
+            sel = np.nonzero(ok[c])[0]
+            self.feat_log.append((self.frame, c, mpt[c, sel], pos[c, sel]))
+
+    # ------------------------------------------------------------------
+    def _host_cadence(self, pyr, fs) -> dict:
+        """Host-decided work after the fused core step: joint-pose
+        fallback, dynamic snapshots, grouping/merge, inter-camera mapping
+        and registration, keyframes + BA, duplicate unification,
+        lifecycle."""
+        import time
+        cfg = self.cfg
+        C = cfg.num_cameras
+        p = cfg.p
+        t0 = time.perf_counter()
+        n_inl = np.asarray(fs.n_inliers)
+        cover = np.asarray(fs.coverage)
+        joint = False
+        if C > 1:
+            weak = (n_inl < p.min_static_for_ok) | (cover < p.min_static_cover)
+            if weak.any() and (n_inl >= 4).all():
+                from coslam_tpu.slam.intercam import joint_pose_update
+                R, t = joint_pose_update(self.state, self.K, cfg)
+                self.state = steps.push_pose_history(
+                    self.state._replace(R=R, t=t))
+                joint = True
+            if int(fs.n_dynamic) > 0:
+                self._store_dynamic_snapshot()
+            settled = not self.merge_log or \
+                self.frame - self.merge_log[-1]["frame"] > 12
+            if self.frame % 5 == 0 and settled:
+                from coslam_tpu.slam.grouping import camera_grouping
+                self.group_id = camera_grouping(self.state, cfg)
+                self.state = self.state._replace(
+                    group_id=jnp.asarray(self.group_id))
+            if (len(np.unique(self.group_id)) > 1
+                    and self.frame - self._last_merge
+                    >= p.merge_min_interval):
+                self._try_merge(pyr)
+        n_inter = 0
+        if C > 1 and (self.frame % p.intercam_map_interval == 0):
+            from coslam_tpu.slam.grouping import group_adjacent_pairs
+            from coslam_tpu.slam.intercam import (intercam_map_pair,
+                                                  register_map_points)
+            for (a, b) in group_adjacent_pairs(self.group_id):
+                mp, tr, nn = intercam_map_pair(self.state, pyr, self.K,
+                                               self.kc, a, b, cfg)
+                self.state = self.state._replace(mappts=mp, tracks=tr)
+                n_inter += int(nn)
+            self.state, n_reg = register_map_points(
+                self.state, pyr, self.K, cfg, max_age=p.num_act_frames)
+        t0 = self._tick("host_cadence", t0)
+        stats = {
+            "n_inliers": n_inl,
+            "coverage": cover,
+            "med_err": np.asarray(fs.med_err),
+            "med_depth": np.asarray(fs.med_depth),
+            "n_new_points": int(fs.n_new_points),
+            "n_intercam_points": n_inter,
+            "joint_pose": joint,
+        }
+        if C > 1:
+            stats["n_static"] = int(fs.n_static)
+            stats["n_dynamic"] = int(fs.n_dynamic)
+        if self._keyframe_ready(fs):
+            self.state = self.state._replace(kfs=steps.add_keyframe(self.state))
+            self.kf_frames.append(self.frame)
+            self._kf_inliers = n_inl.copy()
+            if (len(self.kf_frames) % cfg.p.ba_cadence) == 0:
+                self._run_ba()
+                t0 = self._tick("ba", t0)
+            stats["keyframe"] = True
+        if self.frame > 0 and self.frame % 50 == 0:
+            from coslam_tpu.slam.merge import fuse_close_points
+            self.state, n_fused = fuse_close_points(self.state, cfg)
+            if n_fused:
+                stats["n_fused"] = n_fused
+        self.state = self.state._replace(
+            mappts=steps.lifecycle_update(self.state.mappts,
+                                          self.state.frame, cfg))
+        return stats
+
     # ------------------------------------------------------------------
     def _tracked_frame(self, pyr) -> dict:
         import time
@@ -403,12 +503,30 @@ class CoSlamEngine:
 
     def _try_merge(self, pyr):
         from coslam_tpu.slam.merge import (merge_candidates, merge_groups,
-                                           fuse_duplicate_points)
+                                           fuse_duplicate_points,
+                                           MergeCandidate)
+        from coslam_tpu.slam.state import ST_ALIVE, PT_STATIC
         cfg = self.cfg
         cands = merge_candidates(self.state, cfg, np.asarray(self.K),
                                  self.group_id)
         if not cands:
             return
+        cand = cands[0]
+        # anchor the group with the more ESTABLISHED map: age-mass (sum of
+        # point ages) — raw counts mislead because an exploring camera
+        # mints many fresh points while the stable group holds the old map
+        mp = self.state.mappts
+        alive = (np.asarray(mp.status) == ST_ALIVE) & \
+            (np.asarray(mp.ptype) == PT_STATIC)
+        grp_owner = self.group_id[np.clip(np.asarray(mp.owner), 0,
+                                          cfg.num_cameras - 1)]
+        age = np.maximum(self.frame - np.asarray(mp.first_frame), 0)
+        n_a = float((alive * age)[grp_owner == self.group_id[cand.cam_a]].sum())
+        n_b = float((alive * age)[grp_owner == self.group_id[cand.cam_b]].sum())
+        if n_b > n_a:
+            cand = MergeCandidate(cam_a=cand.cam_b, cam_b=cand.cam_a,
+                                  overlap=cand.overlap)
+        cands = [cand]
         res = merge_groups(self.state, cfg, pyr, self.K, self.kc,
                            self.group_id, cands[0])
         self._last_merge = self.frame
@@ -427,6 +545,14 @@ class CoSlamEngine:
             self.group_id = np.where(self.group_id == gb, ga, self.group_id)
             self.state = self.state._replace(
                 group_id=jnp.asarray(self.group_id))
+            # actively re-form cross-group observations right away with a
+            # widened gate (the post-merge largeErr window,
+            # SL_CoSLAM.cpp:371-374,407) so grouping sees shared points
+            # before the settle window expires
+            from coslam_tpu.slam.intercam import register_map_points
+            self.state, _ = register_map_points(
+                self.state, pyr, self.K, cfg,
+                max_age=cfg.p.num_act_frames, gate_scale=3.0)
 
     def _store_dynamic_snapshot(self):
         """Per-frame dynamic-point snapshot (storeDynamicPoints,

@@ -116,7 +116,7 @@ def test_checkpoint_roundtrip(tmp_path):
     eng2 = CoSlamEngine(cfg, K, kc)
     load_checkpoint(ckpt, eng2)
     assert eng2.frame == 20 and eng2.bootstrapped == eng.bootstrapped
-    eng2.resume_reference_frame(frames[19][None])
+    assert eng2.pyr_prev is not None     # pyramid restored from checkpoint
     for f in range(20, F):
         eng2.process_frame(frames[f][None])
     R1, t1 = eng.trajectory(0, correct=False)

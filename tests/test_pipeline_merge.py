@@ -91,3 +91,47 @@ def test_post_merge_alignment(split_merge_run):
     ang = np.degrees(np.arccos(np.clip((np.trace(R_rel @ R_rel_gt.T) - 1) / 2,
                                        -1, 1)))
     assert ang < 6.0, ang
+
+
+def test_fuse_close_points_unit():
+    """Duplicate unification: co-located same-appearance points fuse to
+    the older slot; distinct-appearance neighbors survive."""
+    import jax.numpy as jnp
+    from coslam_tpu.config import small_test_config
+    from coslam_tpu.slam.state import init_state, ST_ALIVE, ST_FREE
+    from coslam_tpu.slam.merge import fuse_close_points
+
+    cfg = small_test_config(num_cameras=2)
+    st = init_state(cfg)
+    mp = st.mappts
+    B = mp.ncc.shape[-1]
+    rngl = np.random.default_rng(0)
+    blk1 = rngl.standard_normal(B).astype(np.float32)
+    blk1 /= np.linalg.norm(blk1)
+    blk2 = rngl.standard_normal(B).astype(np.float32)
+    blk2 /= np.linalg.norm(blk2)
+    xyz = np.zeros((mp.xyz.shape[0], 3), np.float32)
+    xyz[0] = [1, 1, 5]
+    xyz[1] = [1.05, 1, 5]      # duplicate of 0 (same appearance)
+    xyz[2] = [1.1, 1, 5]       # close to 0 but DIFFERENT appearance
+    xyz[3] = [4, 4, 9]         # far away
+    status = np.zeros(mp.status.shape[0], np.int32)
+    status[:4] = ST_ALIVE
+    ncc = np.zeros(mp.ncc.shape, np.float32)
+    ncc_ok = np.zeros(mp.ncc_valid.shape, bool)
+    for i, b in [(0, blk1), (1, blk1), (2, blk2), (3, blk1)]:
+        ncc[i, 0] = b
+        ncc_ok[i, 0] = True
+    ff = np.zeros(mp.first_frame.shape[0], np.int32)
+    ff[1] = 5                  # point 1 is newer -> it dies
+    st = st._replace(mappts=mp._replace(
+        xyz=jnp.asarray(xyz), status=jnp.asarray(status),
+        ncc=jnp.asarray(ncc), ncc_valid=jnp.asarray(ncc_ok),
+        first_frame=jnp.asarray(ff)))
+    st2, n = fuse_close_points(st, cfg, dist_thresh=0.25)
+    status2 = np.asarray(st2.mappts.status)
+    assert n == 1
+    assert status2[0] == ST_ALIVE
+    assert status2[1] != ST_ALIVE        # fused away
+    assert status2[2] == ST_ALIVE        # different appearance survives
+    assert status2[3] == ST_ALIVE
