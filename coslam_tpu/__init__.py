@@ -27,4 +27,13 @@ import jax as _jax
 # low precision request it explicitly at their call sites.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-from coslam_tpu.config import SlamConfig  # noqa: F401
+from coslam_tpu.config import SlamConfig, small_test_config  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy: CoSlamEngine pulls the whole pipeline stack; keep bare
+    # `import coslam_tpu` light for tooling
+    if name == "CoSlamEngine":
+        from coslam_tpu.slam.pipeline import CoSlamEngine
+        return CoSlamEngine
+    raise AttributeError(name)

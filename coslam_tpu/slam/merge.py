@@ -136,11 +136,14 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
     res = epipolar.ransac_fundamental(
         jax.random.PRNGKey(int(state.frame)), jnp.asarray(xa),
         jnp.asarray(xb), jnp.ones(N0, bool), num_hypotheses=512, thresh=3e-5)
-    if int(res.num_inliers) < 12:
+    # demand solid wide-baseline support: sparse bridges (~15 matches)
+    # produce sloppy E-geometry and bogus scales; a denser re-overlap a
+    # few frames later merges cleanly instead
+    if int(res.num_inliers) < 25:
         return MergeResult(False, state, 1.0, int(res.num_inliers))
     R_ab, t_ab, X_e, good = epipolar.recover_pose_from_essential(
         res.F, jnp.asarray(xa), jnp.asarray(xb), res.inliers)
-    if int(jnp.sum(good)) < 12:
+    if int(jnp.sum(good)) < 25:
         return MergeResult(False, state, 1.0, int(jnp.sum(good)))
     # Resolve the E-translation scale against the anchor group's map: the
     # matched cam_a features bound to anchor map points give metric depths;
@@ -160,14 +163,14 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
     bound &= grp_owner[np.clip(mpt_a, 0, None)] == group_id[a]
     z_e = np.asarray(X_e)[good_np][:, 2]
     scale = None
-    if bound.sum() >= 6:
+    if bound.sum() >= 10:
         Xm = np.asarray(mp.xyz)[mpt_a[bound]]
         R_np = np.asarray(state.R)
         t_np = np.asarray(state.t)
         z_map = (Xm @ R_np[a].T + t_np[a])[:, 2]
         ratio = z_map / np.maximum(z_e[bound], 1e-6)
         ratio = ratio[np.isfinite(ratio) & (ratio > 0)]
-        if len(ratio) >= 6:
+        if len(ratio) >= 10:
             scale = float(np.median(ratio))
     if scale is None or not np.isfinite(scale) or scale <= 0:
         return MergeResult(False, state, 1.0, int(jnp.sum(good)))

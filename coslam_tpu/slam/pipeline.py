@@ -71,6 +71,8 @@ class CoSlamEngine:
         self.dyn_log: list[tuple] = []   # (frame, ids, xyz) dynamic snapshots
         self._last_merge = 0
         self.merge_log: list[dict] = []
+        self._kf_pose_host = None   # (R, t) of the last keyframe, np
+        self._pose_host_cache = None
 
     # ------------------------------------------------------------------
     @property
@@ -185,7 +187,12 @@ class CoSlamEngine:
         for c in range(C):
             has = res.obs_slot[:, c] >= 0
             mpt[c, res.obs_slot[has, c]] = np.nonzero(has)[0]
-        tracks = st.tracks._replace(mpt=jnp.asarray(mpt))
+        # reset the track history: when bootstrap succeeds after retries,
+        # pre-bootstrap ring entries pair with uninitialized pose-ring
+        # slots and would poison history-based triangulation/voting
+        tracks = steps.seed_tracks(st.tracks, st.tracks.pos,
+                                   st.tracks.valid, jnp.asarray(mpt),
+                                   self.K, self.kc, st.frame)
         state = st._replace(
             tracks=tracks, mappts=mappts,
             R=jnp.asarray(res.Rs), t=jnp.asarray(res.ts))
@@ -298,10 +305,14 @@ class CoSlamEngine:
         and registration, keyframes + BA, duplicate unification,
         lifecycle."""
         import time
+        import jax as _jax
         cfg = self.cfg
         C = cfg.num_cameras
         p = cfg.p
         t0 = time.perf_counter()
+        # ONE host transfer for all per-frame scalars (each np.asarray is a
+        # separate device round trip — ~27 ms each over the TPU tunnel)
+        fs = _jax.device_get(fs)
         n_inl = np.asarray(fs.n_inliers)
         cover = np.asarray(fs.coverage)
         joint = False
@@ -312,6 +323,7 @@ class CoSlamEngine:
                 R, t = joint_pose_update(self.state, self.K, cfg)
                 self.state = steps.push_pose_history(
                     self.state._replace(R=R, t=t))
+                self._pose_host_cache = None
                 joint = True
             if int(fs.n_dynamic) > 0:
                 self._store_dynamic_snapshot()
@@ -323,9 +335,11 @@ class CoSlamEngine:
                 self.state = self.state._replace(
                     group_id=jnp.asarray(self.group_id))
             if (len(np.unique(self.group_id)) > 1
+                    and self.frame % 5 == 0
                     and self.frame - self._last_merge
                     >= p.merge_min_interval):
                 self._try_merge(pyr)
+                self._pose_host_cache = None
         n_inter = 0
         if C > 1 and (self.frame % p.intercam_map_interval == 0):
             from coslam_tpu.slam.grouping import group_adjacent_pairs
@@ -355,6 +369,7 @@ class CoSlamEngine:
             self.state = self.state._replace(kfs=steps.add_keyframe(self.state))
             self.kf_frames.append(self.frame)
             self._kf_inliers = n_inl.copy()
+            self._kf_pose_host = self._pose_host()
             if (len(self.kf_frames) % cfg.p.ba_cadence) == 0:
                 self._run_ba()
                 t0 = self._tick("ba", t0)
@@ -413,9 +428,11 @@ class CoSlamEngine:
                     group_id=jnp.asarray(self.group_id))
             # group merge (SL_CoSLAM::mergeCamGroups, SURVEY.md §3.5)
             if (len(np.unique(self.group_id)) > 1
+                    and self.frame % 5 == 0
                     and self.frame - self._last_merge
                     >= p.merge_min_interval):
                 self._try_merge(pyr)
+                self._pose_host_cache = None
         t0 = self._tick("classify+group", t0)
         mappts, tracks, n_new = steps.new_map_points(
             self.state, pyr, self.K, self.kc, cfg)
@@ -451,6 +468,7 @@ class CoSlamEngine:
             self.state = self.state._replace(kfs=steps.add_keyframe(self.state))
             self.kf_frames.append(self.frame)
             self._kf_inliers = n_inl.copy()
+            self._kf_pose_host = self._pose_host()
             if (len(self.kf_frames) % cfg.p.ba_cadence) == 0:
                 self._run_ba()
                 t0 = self._tick("ba", t0)
@@ -476,12 +494,17 @@ class CoSlamEngine:
             return False
         n_inl = np.asarray(out.n_inliers)
         decrease = np.any(n_inl < 0.8 * np.maximum(self._kf_inliers, 1))
-        # translation / view-angle change since last keyframe (per camera 0)
-        kf_idx = (int(self.state.kfs.n) - 1) % self.state.kfs.frame.shape[0]
-        R_kf = np.asarray(self.state.kfs.R[kf_idx])
-        t_kf = np.asarray(self.state.kfs.t[kf_idx])
-        R_cur = np.asarray(self.state.R)
-        t_cur = np.asarray(self.state.t)
+        # translation / view-angle change since last keyframe; the last
+        # keyframe pose is cached on host at add time (pulling it from the
+        # device ring costs two tunnel round trips per frame)
+        if self._kf_pose_host is None:
+            kf_idx = (len(self.kf_frames) - 1) % self.state.kfs.frame.shape[0]
+            self._kf_pose_host = jax.device_get(
+                (self.state.kfs.R[kf_idx], self.state.kfs.t[kf_idx]))
+        R_kf, t_kf = self._kf_pose_host
+        R_kf = np.asarray(R_kf)
+        t_kf = np.asarray(t_kf)
+        R_cur, t_cur = self._pose_host()
         c_kf = -np.einsum("cji,cj->ci", R_kf, t_kf)
         c_cur = -np.einsum("cji,cj->ci", R_cur, t_cur)
         depth = np.asarray(out.med_depth)
@@ -500,6 +523,8 @@ class CoSlamEngine:
                             inner_iter=cfg.p.ba_inner_iter)
         self.state = steps.apply_ba_results(self.state, prob, res, ring,
                                             kf_ok, cfg)
+        self._pose_host_cache = None
+        self._kf_pose_host = None
 
     def _try_merge(self, pyr):
         from coslam_tpu.slam.merge import (merge_candidates, merge_groups,
@@ -559,22 +584,32 @@ class CoSlamEngine:
         SL_CoSLAM.cpp:1900-1911) — the dynamic trajectories output."""
         from coslam_tpu.slam.state import PT_DYNAMIC
         mp = self.state.mappts
-        dyn = (np.asarray(mp.status) == ST_ALIVE) & \
-              (np.asarray(mp.ptype) == PT_DYNAMIC)
+        status, ptype, xyz = jax.device_get((mp.status, mp.ptype, mp.xyz))
+        dyn = (np.asarray(status) == ST_ALIVE) & \
+              (np.asarray(ptype) == PT_DYNAMIC)
         ids = np.nonzero(dyn)[0]
         if len(ids):
-            self.dyn_log.append((self.frame, ids, np.asarray(mp.xyz)[dyn]))
+            self.dyn_log.append((self.frame, ids, np.asarray(xyz)[dyn]))
+
+    def _pose_host(self):
+        """Current (R, t) as numpy, pulled at most once per frame."""
+        if self._pose_host_cache is None or \
+                self._pose_host_cache[0] != self.frame:
+            R, t = jax.device_get((self.state.R, self.state.t))
+            self._pose_host_cache = (self.frame, np.asarray(R),
+                                     np.asarray(t))
+        return self._pose_host_cache[1], self._pose_host_cache[2]
 
     # ------------------------------------------------------------------
     def _record_pose(self):
-        R = np.asarray(self.state.R)
-        t = np.asarray(self.state.t)
+        R, t = self._pose_host()
         for c in range(self.cfg.num_cameras):
             if self.traj[c]:
                 R_prev, t_prev = self.traj[c][-1]
-                Rr, tr = relative_pose(jnp.asarray(R_prev), jnp.asarray(t_prev),
-                                       jnp.asarray(R[c]), jnp.asarray(t[c]))
-                self.rel[c].append((np.asarray(Rr), np.asarray(tr)))
+                # tiny 3x3 host math — no device dispatch
+                Rr = R[c] @ R_prev.T
+                tr = t[c] - Rr @ t_prev
+                self.rel[c].append((Rr, tr))
             self.traj[c].append((R[c].copy(), t[c].copy()))
 
     def trajectory(self, c: int = 0, correct: bool = True):

@@ -66,9 +66,10 @@ def test_group_splits_during_separation(split_merge_run):
 def test_merge_happens_on_reoverlap(split_merge_run):
     eng, _, _, _ = split_merge_run
     assert len(eng.merge_log) >= 1
-    m = eng.merge_log[0]
+    m = eng.merge_log[-1]            # the system may refine across merges
     assert m["frame"] >= 70          # after the views re-overlap
     assert 0.3 < m["scale"] < 3.0    # metric scale recovered sanely
+    assert m["n_matches"] >= 25
 
 
 def test_groups_rejoined_at_end(split_merge_run):
