@@ -204,3 +204,23 @@ def render_sequence(planes, K, Rs, ts, h, w, quads=None):
         frames.append(np.asarray(render(planes, K, Rs[f], ts[f], h, w,
                                         quads=quads, frame=f)))
     return np.stack(frames)
+
+
+def apply_distortion_warp(img: jnp.ndarray, K: np.ndarray,
+                          kc: np.ndarray) -> jnp.ndarray:
+    """Turn an ideal-pinhole rendering [H, W] into what a distorted camera
+    with coefficients kc would capture: I_d(p) = I_ideal(K D^-1(K^-1 p)).
+    Lets every synthetic test exercise the full undistortion path."""
+    from coslam_tpu.geometry.camera import (pixel_to_normalized,
+                                            undistort_normalized,
+                                            normalized_to_pixel)
+    from coslam_tpu.ops.patches import sample_bilinear
+    h, w = img.shape
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    p = jnp.stack([xs, ys], axis=-1)
+    xn = undistort_normalized(pixel_to_normalized(p, jnp.asarray(K)),
+                              jnp.asarray(kc))
+    src = normalized_to_pixel(xn, jnp.asarray(K))
+    vals, _ = sample_bilinear(img, src)
+    return vals

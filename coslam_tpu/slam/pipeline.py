@@ -31,6 +31,11 @@ from coslam_tpu.solvers.pose_graph import chain_graph, solve_rotations, \
     solve_translations
 
 
+# cadence (frames) shared by camera grouping and merge checks: merges must
+# run on the same frames that refresh group_id, or they act on stale groups
+GROUPING_INTERVAL = 5
+
+
 class CoSlamEngine:
     """One engine = N synchronized cameras (the CoSLAM object equivalent).
 
@@ -305,14 +310,13 @@ class CoSlamEngine:
         and registration, keyframes + BA, duplicate unification,
         lifecycle."""
         import time
-        import jax as _jax
         cfg = self.cfg
         C = cfg.num_cameras
         p = cfg.p
         t0 = time.perf_counter()
         # ONE host transfer for all per-frame scalars (each np.asarray is a
         # separate device round trip — ~27 ms each over the TPU tunnel)
-        fs = _jax.device_get(fs)
+        fs = jax.device_get(fs)
         n_inl = np.asarray(fs.n_inliers)
         cover = np.asarray(fs.coverage)
         joint = False
@@ -329,17 +333,16 @@ class CoSlamEngine:
                 self._store_dynamic_snapshot()
             settled = not self.merge_log or \
                 self.frame - self.merge_log[-1]["frame"] > 12
-            if self.frame % 5 == 0 and settled:
+            if self.frame % GROUPING_INTERVAL == 0 and settled:
                 from coslam_tpu.slam.grouping import camera_grouping
                 self.group_id = camera_grouping(self.state, cfg)
                 self.state = self.state._replace(
                     group_id=jnp.asarray(self.group_id))
             if (len(np.unique(self.group_id)) > 1
-                    and self.frame % 5 == 0
+                    and self.frame % GROUPING_INTERVAL == 0
                     and self.frame - self._last_merge
                     >= p.merge_min_interval):
                 self._try_merge(pyr)
-                self._pose_host_cache = None
         n_inter = 0
         if C > 1 and (self.frame % p.intercam_map_interval == 0):
             from coslam_tpu.slam.grouping import group_adjacent_pairs
@@ -421,18 +424,17 @@ class CoSlamEngine:
             # SL_CoSLAM.cpp:1317-1320)
             settled = not self.merge_log or \
                 self.frame - self.merge_log[-1]["frame"] > 12
-            if self.frame % 5 == 0 and settled:
+            if self.frame % GROUPING_INTERVAL == 0 and settled:
                 from coslam_tpu.slam.grouping import camera_grouping
                 self.group_id = camera_grouping(self.state, cfg)
                 self.state = self.state._replace(
                     group_id=jnp.asarray(self.group_id))
             # group merge (SL_CoSLAM::mergeCamGroups, SURVEY.md §3.5)
             if (len(np.unique(self.group_id)) > 1
-                    and self.frame % 5 == 0
+                    and self.frame % GROUPING_INTERVAL == 0
                     and self.frame - self._last_merge
                     >= p.merge_min_interval):
                 self._try_merge(pyr)
-                self._pose_host_cache = None
         t0 = self._tick("classify+group", t0)
         mappts, tracks, n_new = steps.new_map_points(
             self.state, pyr, self.K, self.kc, cfg)
@@ -578,6 +580,10 @@ class CoSlamEngine:
             self.state, _ = register_map_points(
                 self.state, pyr, self.K, cfg,
                 max_age=cfg.p.num_act_frames, gate_scale=3.0)
+            # merge transformed poses AND keyframe-ring poses: both host
+            # caches are stale now
+            self._pose_host_cache = None
+            self._kf_pose_host = None
 
     def _store_dynamic_snapshot(self):
         """Per-frame dynamic-point snapshot (storeDynamicPoints,

@@ -70,3 +70,32 @@ def test_export_roundtrip(mono_run, tmp_path):
     assert Rs.shape[0] == 60
     ate = ate_rmse(Rs, ts, Rs_gt, ts_gt)
     assert ate < 0.25
+
+
+def test_mono_with_lens_distortion():
+    """End-to-end with a distorted camera (kc != 0): exercises the
+    raw-vs-undistorted dual coordinate path (the tracker works on raw
+    pixels, the SLAM core on undistorted ones — GPUKLT.cpp:43-47)."""
+    import jax.numpy as jnp
+    from coslam_tpu.config import small_test_config
+    from coslam_tpu.io.synthetic import (make_room, orbit_trajectory,
+                                         render, apply_distortion_warp)
+    from coslam_tpu.io.ate import ate_rmse
+    from coslam_tpu.slam.pipeline import CoSlamEngine
+
+    rng = np.random.default_rng(0)
+    kc = np.array([-0.25, 0.08, 1e-3, -5e-4, 0.0], np.float32)
+    cfg = small_test_config(num_cameras=1, h=H, w=W)
+    planes = make_room(rng, size=10.0)
+    F = 50
+    Rs_gt, ts_gt = orbit_trajectory(F, forward=0.06)
+    frames = np.zeros((F, H, W), np.float32)
+    for f in range(F):
+        ideal = render(planes, KMAT[0], Rs_gt[f], ts_gt[f], H, W)
+        frames[f] = np.asarray(apply_distortion_warp(ideal, KMAT[0], kc))
+    eng = CoSlamEngine(cfg, KMAT, kc[None])
+    for f in range(F):
+        eng.process_frame(frames[f][None])
+    assert eng.bootstrapped
+    ate = ate_rmse(*eng.trajectory(0, True), Rs_gt, ts_gt)
+    assert ate < 0.25, f"distorted-camera ATE {ate}"
