@@ -44,8 +44,9 @@ def triangulate_multiview(Rs: jnp.ndarray, ts: jnp.ndarray, xns: jnp.ndarray,
     ``mask.sum(-1) >= 2``.
     """
     rows = _dlt_rows(Rs, ts, xns)  # [..., V, 2, 4]
-    AtA = jnp.einsum("...v,...vki,...vkj->...ij",
-                     mask.astype(rows.dtype), rows, rows)
+    rows = rows * mask[..., None, None].astype(rows.dtype)
+    A = rows.reshape(*rows.shape[:-3], -1, 4)  # [..., 2V, 4]
+    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
     # smallest eigenvector of symmetric 4x4
     w, V = jnp.linalg.eigh(AtA)
     h = V[..., :, 0]
@@ -84,15 +85,12 @@ def triangulate_multiview_linear(Rs: jnp.ndarray, ts: jnp.ndarray,
     Shapes as triangulate_multiview.
     """
     rows = _dlt_rows(Rs, ts, xns)                       # [..., V, 2, 4]
-    M = rows[..., :3]
-    b = -rows[..., 3]
-    # fold the view mask into the reductions (a materialized masked-rows
-    # tensor has minor dim 4 — terrible lane utilization; measured ~0.7 ms
-    # per frame of pure select_n in the classify stage)
-    mf = mask.astype(rows.dtype)
-    H = jnp.einsum("...v,...vki,...vkj->...ij", mf, M, M) \
-        + 1e-9 * jnp.eye(3, dtype=rows.dtype)
-    g = jnp.einsum("...v,...vki,...vk->...i", mf, M, b)
+    rows = rows * mask[..., None, None].astype(rows.dtype)
+    A = rows.reshape(*rows.shape[:-3], -1, 4)           # [..., 2V, 4]
+    M = A[..., :3]
+    b = -A[..., 3]
+    H = jnp.einsum("...ki,...kj->...ij", M, M) + 1e-9 * jnp.eye(3, dtype=A.dtype)
+    g = jnp.einsum("...ki,...k->...i", M, b)
     return jnp.einsum("...ij,...j->...i", inv3x3_sym(H), g)
 
 
@@ -160,8 +158,8 @@ def triangulation_cov(Ks, Rs, ts, X, mask, pixel_var: float = 1.0) -> jnp.ndarra
     mask: [..., V].  cov = pixel_var * (sum_v J_v^T J_v)^{-1}.
     """
     J = projection_jacobian(Ks, Rs, ts, X[..., None, :])  # [..., V, 2, 3]
-    H = jnp.einsum("...v,...vki,...vkj->...ij",
-                   mask.astype(J.dtype), J, J)  # [..., 3, 3]
+    J = J * mask[..., None, None].astype(J.dtype)
+    H = jnp.einsum("...vki,...vkj->...ij", J, J)  # [..., 3, 3]
     H = H + 1e-9 * jnp.eye(3, dtype=H.dtype)
     return pixel_var * inv3x3_sym(H)
 

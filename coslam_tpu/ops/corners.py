@@ -83,10 +83,7 @@ def detect_corners(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
         occ = max_pool_same(occ, cfg.min_distance) > 0.5
         is_max = is_max & ~occ
     masked = jnp.where(is_max, corner, 0.0).reshape(c, h * w)
-    # approx_max_k: the TPU-native partial sort (~an order of magnitude
-    # cheaper than exact top_k over H*W). Recall loss only reorders the
-    # weakest corners — NMS has already thinned the field to isolated peaks
-    score, idx = jax.lax.approx_max_k(masked, k, recall_target=0.95)
+    score, idx = jax.lax.top_k(masked, k)
     pos = jnp.stack([(idx % w).astype(img.dtype), (idx // w).astype(img.dtype)],
                     axis=-1)
     return CornerResult(pos=pos, score=score, valid=score > 0.0)

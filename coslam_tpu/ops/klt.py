@@ -43,13 +43,8 @@ from coslam_tpu.ops.patches import (extract_patches, extract_windows_onehot,
 from coslam_tpu.ops.pyramid import Pyramid
 
 # search margin per level (px): integer displacement handled inside one
-# window without re-extraction. The TOP level absorbs the raw inter-frame
-# motion and needs the full margin; finer levels only refine the 2-4x
-# upscaled coarse estimate (error well under 2 px), so a tighter margin
-# cuts both the window extraction (cost ~ G) and the per-iteration shift
-# chain (cost ~ 2*margin+1)
-_MARGIN_TOP = 6
-_MARGIN_FINE = 4
+# window without re-extraction; coarse-to-fine keeps per-level motion small
+_MARGIN = 6
 
 
 class KLTResult(NamedTuple):
@@ -80,16 +75,15 @@ def _int_subwindow(Wnd: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
     return out
 
 
-def _track_level(img_t, img_c, pos_t, q, g, cfg: KLTConfig,
-                 margin: int = _MARGIN_TOP):
+def _track_level(img_t, img_c, pos_t, q, g, cfg: KLTConfig):
     """One pyramid level, one camera. pos_t: [N, 2] template positions
     (level coords); q: [N, 2] current estimates. Returns (q, g, ok, e)."""
     h, w = img_c.shape
     N = q.shape[0]
     r = cfg.window_radius
     S = 2 * r + 1
-    G = S + 1 + 2 * margin             # target window size
-    D = 2 * margin + 1                 # static shift count
+    G = S + 1 + 2 * _MARGIN            # target window size
+    D = 2 * _MARGIN + 1                # static shift count
     GT = S + 3                         # template window (patch + grad + lerp)
     f32 = jnp.float32
 
@@ -111,7 +105,7 @@ def _track_level(img_t, img_c, pos_t, q, g, cfg: KLTConfig,
     det = jnp.where(jnp.abs(det) < 1e-8, 1e-8, det)
 
     # --- target window around the level-start estimate ---
-    b = jnp.floor(q - r).astype(jnp.int32) - margin
+    b = jnp.floor(q - r).astype(jnp.int32) - _MARGIN
     b = jnp.clip(b, 0, jnp.array([w - G, h - G], jnp.int32))
     Wc = extract_windows_onehot(img_c, b, G)
     lam = jnp.asarray(cfg.gain_lambda, f32)
@@ -172,7 +166,7 @@ def _klt_track_single(pyr_prev: Pyramid, pyr_cur: Pyramid, pos: jnp.ndarray,
     # drop levels whose image is smaller than the search window (the ±margin
     # at the next finer level still covers the motion those levels would)
     r = cfg.window_radius
-    G = 2 * r + 2 + 2 * _MARGIN_TOP
+    G = 2 * r + 2 + 2 * _MARGIN
     levels = [l for l in levels
               if min(pyr_cur.imgs[l].shape) >= G + 2 or l == 0]
     top = levels[0]
@@ -186,8 +180,7 @@ def _klt_track_single(pyr_prev: Pyramid, pyr_cur: Pyramid, pos: jnp.ndarray,
             q = q * (2.0 ** (prev_l - l))
         pos_t = pos * (0.5 ** l)
         q, g, ok_l, ssd = _track_level(
-            pyr_prev.imgs[l], pyr_cur.imgs[l], pos_t, q, g, cfg,
-            margin=_MARGIN_TOP if li == 0 else _MARGIN_FINE)
+            pyr_prev.imgs[l], pyr_cur.imgs[l], pos_t, q, g, cfg)
         # only the finest level's search-range check gates validity: coarse
         # levels clip their windows near borders (tiny images) and would
         # spuriously kill features that level 0 tracks fine

@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from coslam_tpu.geometry.se3 import se3_exp
+from coslam_tpu.geometry.se3 import se3_exp, so3_hat
 from coslam_tpu.geometry.robust import tukey_weight, huber_weight
 
 
@@ -44,24 +44,17 @@ def _residuals(K, R, t, X, px):
 
 
 def _jacobian(K, Xc):
-    """d(residual)/d(xi) for left-increment xi=(w,v): Xc' = Xc + w x Xc + v.
-
-    Explicit per-entry formulas (the closed form of Jc @ [-hat(Xc) | I]):
-    everything stays elementwise so XLA fuses it into one pass instead of
-    emitting a batched [N,2,3]x[N,3,6] matmul (measured ~1 ms/frame inside
-    the pose loop on the [3,1024] problem)."""
+    """d(residual)/d(xi) for left-increment xi=(w,v): Xc' = Xc + w x Xc + v."""
     x, y, z = Xc[:, 0], Xc[:, 1], Xc[:, 2]
     zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     fx, fy = K[0, 0], K[1, 1]
-    a = fx * zi                     # du/dXc = (a, 0, b)
-    b = -fx * x * zi * zi
-    c = fy * zi                     # dv/dXc = (0, c, d)
-    d = -fy * y * zi * zi
     zero = jnp.zeros_like(x)
-    # dXc/dw rows (of -hat(Xc)): r0=(0, z, -y), r1=(-z, 0, x), r2=(y, -x, 0)
-    J1 = jnp.stack([b * y, a * z - b * x, -a * y, a, zero, b], axis=-1)
-    J2 = jnp.stack([-c * z + d * y, -d * x, c * x, zero, c, d], axis=-1)
-    return jnp.stack([J1, J2], axis=-2)                            # [N, 2, 6]
+    du = jnp.stack([fx * zi, zero, -fx * x * zi * zi], axis=-1)   # [N, 3]
+    dv = jnp.stack([zero, fy * zi, -fy * y * zi * zi], axis=-1)
+    Jc = jnp.stack([du, dv], axis=-2)                              # [N, 2, 3]
+    dXc = jnp.concatenate([-so3_hat(Xc), jnp.broadcast_to(
+        jnp.eye(3, dtype=Xc.dtype), Xc.shape[:-1] + (3, 3))], axis=-1)  # [N,3,6]
+    return Jc @ dXc                                                # [N, 2, 6]
 
 
 def _weighted_cost(r, w):
@@ -79,52 +72,52 @@ def irls_pose(K: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
     undistorted pixel observations; valid: [N] mask. ``point_weight``
     optionally scales each point's influence (the reference's density
     weights, computeDensityWeights).
-
-    Structure: a SINGLE damped-LM loop of ``n_irls + n_lm`` iterations
-    with the robust weights refreshed every iteration (graduated IRLS:
-    Huber early, Tukey on the last 3 for hard rejection). The reference
-    nests 5 reweight passes around full LM runs (SL_IntraCamPose.cpp
-    :640-710); per-iteration reweighting reaches the same fixed point in
-    ~2.5x fewer iterations — each iteration of this loop is a sequential
-    device bottleneck (tiny 6x6 problem), so trip count is the cost.
     """
     base_w = valid.astype(X.dtype)
     if point_weight is not None:
         base_w = base_w * point_weight
-    n_iter = n_irls + n_lm
 
-    def step(carry, k):
-        R, t, lam = carry
+    def lm_inner(carry, _):
+        R, t, lam, w = carry
         r, Xc = _residuals(K, R, t, X, px)
-        en = jnp.linalg.norm(r, axis=-1)
-        # Huber never zeroes a residual, so a far-off init still produces
-        # a gradient; Tukey on the closing iterations rejects outliers hard.
-        # Reset the damping at the transition: stagnation at the Huber
-        # optimum inflates lambda, which would freeze the Tukey polish.
-        lam = jnp.where(k == n_iter - 4, jnp.asarray(1e-3, X.dtype), lam)
-        w_rob = jnp.where(k < n_iter - 4, huber_weight(en, tau),
-                          tukey_weight(en, tau))
-        w = base_w * w_rob * (Xc[:, 2] > 1e-6)
+        behind = Xc[:, 2] <= 1e-6
+        we = jnp.where(behind, 0.0, w)
         J = _jacobian(K, Xc)
-        H = jnp.einsum("n,nki,nkj->ij", w, J, J)
-        g = jnp.einsum("n,nki,nk->i", w, J, r)
-        cost = _weighted_cost(r, w)
+        H = jnp.einsum("n,nki,nkj->ij", we, J, J)
+        g = jnp.einsum("n,nki,nk->i", we, J, r)
+        cost = _weighted_cost(r, we)
         Hd = H + lam * jnp.diag(jnp.diagonal(H) + 1e-6)
         delta = -jnp.linalg.solve(Hd, g)
         dR, dt = se3_exp(delta)
         R_new = dR @ R
         t_new = jnp.einsum("ij,j->i", dR, t) + dt
         r_new, Xc_new = _residuals(K, R_new, t_new, X, px)
-        w_new = jnp.where(Xc_new[:, 2] <= 1e-6, 0.0, w)
-        cost_new = _weighted_cost(r_new, w_new)
+        we_new = jnp.where(Xc_new[:, 2] <= 1e-6, 0.0, w)
+        cost_new = _weighted_cost(r_new, we_new)
         ok = (cost_new < cost) & jnp.all(jnp.isfinite(delta))
         R = jnp.where(ok, R_new, R)
         t = jnp.where(ok, t_new, t)
-        lam = jnp.clip(jnp.where(ok, lam * 0.3, lam * 5.0), 1e-8, 1e8)
-        return (R, t, lam), None
+        lam = jnp.where(ok, lam * 0.3, lam * 5.0)
+        lam = jnp.clip(lam, 1e-8, 1e8)
+        return (R, t, lam, w), None
 
-    lam0 = jnp.asarray(1e-3, X.dtype)
-    (R, t, _), _ = jax.lax.scan(step, (R0, t0, lam0), jnp.arange(n_iter))
+    def irls_outer(carry, k):
+        R, t, w = carry
+        r, Xc = _residuals(K, R, t, X, px)
+        en = jnp.linalg.norm(r, axis=-1)
+        # Huber on all but the last pass (never zero, so a far-off init with
+        # all residuals beyond tau still produces a gradient); Tukey on the
+        # last pass for hard outlier rejection.
+        w_rob = jnp.where(k < n_irls - 1, huber_weight(en, tau),
+                          tukey_weight(en, tau))
+        w = base_w * w_rob
+        lam0 = jnp.asarray(1e-3, X.dtype)
+        (R, t, _, _), _ = jax.lax.scan(lm_inner, (R, t, lam0, w), None,
+                                       length=n_lm)
+        return (R, t, w), None
+
+    w0 = base_w
+    (R, t, w), _ = jax.lax.scan(irls_outer, (R0, t0, w0), jnp.arange(n_irls))
     from coslam_tpu.geometry.se3 import orthonormalize_fast
     R = orthonormalize_fast(R)
     r, Xc = _residuals(K, R, t, X, px)
