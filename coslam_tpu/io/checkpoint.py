@@ -63,6 +63,9 @@ def save_checkpoint(path: str, engine):
         "group_id": engine.group_id.tolist(),
         "last_merge": engine._last_merge,
         "merge_log": engine.merge_log,
+        "group_hist": [list(g) for g in engine.group_hist],
+        "split_pending": list(engine._split_pending)
+        if engine._split_pending is not None else None,
     }
     arrays["meta"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
@@ -103,6 +106,11 @@ def load_checkpoint(path: str, engine):
     engine.group_id = np.array(meta["group_id"], np.int32)
     engine._last_merge = int(meta["last_merge"])
     engine.merge_log = list(meta["merge_log"])
+    engine.group_hist = [tuple(g) for g in meta.get("group_hist", [])]
+    sp = meta.get("split_pending")
+    engine._split_pending = tuple(sp) if sp is not None else None
+    engine._pose_host_cache = None
+    engine._kf_pose_host = None
     engine._kf_inliers = d.pop("kf_inliers")
     pyr_keys = sorted(k for k in d if k.startswith("pyr.imgs."))
     if pyr_keys:

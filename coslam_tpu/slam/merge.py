@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from coslam_tpu.config import SlamConfig
 from coslam_tpu.geometry import camera as cam
 from coslam_tpu.geometry import epipolar
-from coslam_tpu.geometry.se3 import relative_pose, orthonormalize_fast
+from coslam_tpu.geometry.se3 import (relative_pose, orthonormalize_fast,
+                                     se3_exp, se3_log)
 from coslam_tpu.ops.matching import guided_match
 from coslam_tpu.ops.ncc import extract_ncc_blocks
 from coslam_tpu.slam.state import SlamState, ST_ALIVE, ST_FALSE, PT_STATIC
@@ -109,10 +110,12 @@ class MergeResult(NamedTuple):
 
 
 def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
-                 group_id: np.ndarray, cand: MergeCandidate) -> MergeResult:
+                 group_id: np.ndarray, cand: MergeCandidate,
+                 f_sep: int | None = None) -> MergeResult:
     """Estimate the bridging relative pose (NCC match + E-RANSAC), solve
     the pose graph with an unknown-scale merge edge, and realign the
-    moving group's entire state."""
+    moving group's entire state. ``f_sep`` = last co-grouped frame; the
+    realignment ramps from identity there to the full correction now."""
     p = cfg.p
     C = cfg.num_cameras
     a, b = cand.cam_a, cand.cam_b
@@ -171,7 +174,14 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
         ratio = z_map / np.maximum(z_e[bound], 1e-6)
         ratio = ratio[np.isfinite(ratio) & (ratio > 0)]
         if len(ratio) >= 10:
-            scale = float(np.median(ratio))
+            # dispersion gate: a clean bridge has consistent depth ratios;
+            # a mostly-mismatched one produces a wide spread, and its
+            # median is a coin flip that would rescale the whole moving
+            # group's state — reject instead and wait for a denser overlap
+            lr = np.log(ratio)
+            mad = float(np.median(np.abs(lr - np.median(lr))))
+            if mad < 0.35:
+                scale = float(np.exp(np.median(lr)))
     if scale is None or not np.isfinite(scale) or scale <= 0:
         return MergeResult(False, state, 1.0, int(jnp.sum(good)))
     t_ab = t_ab * scale
@@ -213,6 +223,23 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
     t_sol, scales = solve_translations(pg, R_sol, num_scales=1)
     if not bool(jnp.all(jnp.isfinite(R_sol)) & jnp.all(jnp.isfinite(t_sol))):
         return MergeResult(False, state, 1.0, N0)
+    # geometric verification BEFORE committing: the anchor-bound map points
+    # must reproject onto camera b's matched features under b's solved
+    # pose. A bad bridge (wrong scale / wrong E decomposition) fails this
+    # loudly; committing it would corrupt the moving group's entire state.
+    Xm_v = np.asarray(mp.xyz)[mpt_a[bound]]
+    pos_b = np.asarray(tracks.pos[b])[sel[feats_a][bound]]
+    R_b_new = np.asarray(R_sol[cand.cam_b])
+    t_b_new = np.asarray(t_sol[cand.cam_b])
+    Xc_v = Xm_v @ R_b_new.T + t_b_new
+    z_v = np.where(np.abs(Xc_v[:, 2]) < 1e-9, 1e-9, Xc_v[:, 2])
+    K_b = np.asarray(K[b])
+    u_v = Xc_v[:, 0] / z_v * K_b[0, 0] + K_b[0, 2]
+    v_v = Xc_v[:, 1] / z_v * K_b[1, 1] + K_b[1, 2]
+    err_v = np.hypot(u_v - pos_b[:, 0], v_v - pos_b[:, 1])
+    err_v = err_v[Xc_v[:, 2] > 1e-3]
+    if len(err_v) < 8 or float(np.median(err_v)) > p.pixel_err_var:
+        return MergeResult(False, state, 1.0, int(jnp.sum(good)))
     # rigid world-frame correction S for the moving group, from camera b:
     # T_new = T_old o S^-1  =>  R_s = R_new^T R_old, t_s = R_new^T (t_old - t_new)
     R_new_b = np.asarray(R_sol[b])
@@ -221,45 +248,89 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
     t_s = R_new_b.T @ (t[b] - t_new_b)
     move = group_id == group_id[b]
     state = apply_group_transform(state, cfg, move, R_s.astype(np.float32),
-                                  t_s.astype(np.float32), group_id)
+                                  t_s.astype(np.float32), group_id,
+                                  f_sep=f_sep)
     return MergeResult(True, state, scale, int(jnp.sum(good)))
 
 
 def apply_group_transform(state: SlamState, cfg: SlamConfig,
                           move_cams: np.ndarray, R_s: np.ndarray,
-                          t_s: np.ndarray, group_id: np.ndarray) -> SlamState:
-    """Apply world-frame map x -> R_s x + t_s to everything owned by the
-    moving group: camera poses T' = T o S^-1, pose histories, keyframe
+                          t_s: np.ndarray, group_id: np.ndarray,
+                          f_sep: int | None = None) -> SlamState:
+    """Apply the world-frame correction x -> R_s x + t_s to the moving
+    group's state: camera poses T' = T o S^-1, pose histories, keyframe
     poses, and owned map points (recomputeKeyCamPoses /
-    recomputeAllCameraPoses / recomputeMapPoints roles)."""
+    recomputeAllCameraPoses / recomputeMapPoints roles).
+
+    With ``f_sep`` given (the last frame the merging groups were still
+    co-grouped), the correction is DISTRIBUTED over the separation window
+    instead of applied rigidly: entity minted/observed at frame f gets
+    S^w with w = (f - f_sep) / (f_merge - f_sep), interpolated in se(3).
+    This is the functional equivalent of the reference's keyframe pose
+    graph back to the last co-grouped keyframe
+    (SL_MergeCameraGroup.cpp:884-1116, a chain with both ends pinned):
+    drift accumulated gradually during separation, so the correction must
+    ramp from identity at separation to S at the merge — a rigid S would
+    corrupt pre-separation poses and put the full discrepancy at the
+    separation point."""
     mv = jnp.asarray(move_cams)
     Rs = jnp.asarray(R_s)
     ts = jnp.asarray(t_s)
-    RsT = Rs.T
+    f_merge = int(state.frame)
+    if f_sep is None or f_merge - f_sep < 2:
+        span = 1
+        f0 = f_merge - 1          # everything gets w = 1 (rigid fallback)
+    else:
+        span = f_merge - f_sep
+        f0 = f_sep
+    xi = se3_log(Rs, ts)          # [6] correction twist
 
-    def xf_pose(R, t):
-        # T' = T o S^-1: R' = R Rs^T, t' = t - R' ts... derive:
-        # x' = Rs x + ts; cam: R x + t = R Rs^T (x') - R Rs^T ts + t
-        Rn = orthonormalize_fast(R @ RsT)
-        tn = t - jnp.einsum("...ij,j->...i", Rn, ts)
+    def w_of(frames):
+        return jnp.clip((frames.astype(jnp.float32) - f0) / span, 0.0, 1.0)
+
+    def S_at(w):
+        """Graded correction exp(w * xi): ([..., 3, 3], [..., 3])."""
+        return se3_exp(w[..., None] * xi)
+
+    def xf_pose(R, t, Rw, tw):
+        # T' = T o S_w^-1: x' = Rw x + tw  =>  R x + t = R Rw^T x' - R Rw^T tw + t
+        Rn = orthonormalize_fast(R @ jnp.swapaxes(Rw, -1, -2))
+        tn = t - jnp.einsum("...ij,...j->...i", Rn, tw)
         return Rn, tn
 
-    R_new, t_new = xf_pose(state.R, state.t)
+    one = jnp.ones((), jnp.float32)
+    R_full, t_full = S_at(one)
+    R_new, t_new = xf_pose(state.R, state.t, R_full, t_full)
     R_cur = jnp.where(mv[:, None, None], R_new, state.R)
     t_cur = jnp.where(mv[:, None], t_new, state.t)
-    phR, pht = xf_pose(state.pose_hist_R, state.pose_hist_t)
+    # pose-history ring: slot k holds frame f_merge - ((f_merge - k) % T)
+    T = state.pose_hist_R.shape[1]
+    k = jnp.arange(T)
+    f_hist = f_merge - jnp.mod(f_merge - k, T)
+    Rw_h, tw_h = S_at(w_of(f_hist))                      # [T, 3, 3], [T, 3]
+    phR, pht = xf_pose(state.pose_hist_R, state.pose_hist_t,
+                       Rw_h[None], tw_h[None])
     pose_hist_R = jnp.where(mv[:, None, None, None], phR, state.pose_hist_R)
     pose_hist_t = jnp.where(mv[:, None, None], pht, state.pose_hist_t)
-    kR, kt = xf_pose(state.kfs.R, state.kfs.t)
+    # keyframes: graded by their frame stamps
+    Rw_k, tw_k = S_at(w_of(state.kfs.frame))             # [KF, 3, 3], [KF, 3]
+    kR, kt = xf_pose(state.kfs.R, state.kfs.t,
+                     Rw_k[:, None], tw_k[:, None])
     kfs = state.kfs._replace(
         R=jnp.where(mv[None, :, None, None], kR, state.kfs.R),
         t=jnp.where(mv[None, :, None], kt, state.kfs.t))
-    # owned map points move with the group
+    # owned map points get the FULL correction: the moving cameras keep
+    # tracking these points after the merge, so points and the (fully
+    # corrected) current poses must stay mutually consistent — points are
+    # continuously refined against current observations, so they live at
+    # "now", not at their minting epoch. (Grading points by first_frame
+    # was tried and leaves mid-separation points misaligned with the
+    # current pose, which biases post-merge tracking.)
     mp = state.mappts
     owner_moves = mv[jnp.clip(mp.owner, 0, cfg.num_cameras - 1)] & \
         (mp.status == ST_ALIVE)
-    X_new = jnp.einsum("ij,pj->pi", Rs, mp.xyz) + ts
-    cov_new = jnp.einsum("ij,pjk,lk->pil", Rs, mp.cov, Rs)
+    X_new = jnp.einsum("ij,pj->pi", R_full, mp.xyz) + t_full
+    cov_new = jnp.einsum("ij,pjk,lk->pil", R_full, mp.cov, R_full)
     mappts = mp._replace(
         xyz=jnp.where(owner_moves[:, None], X_new, mp.xyz),
         cov=jnp.where(owner_moves[:, None, None], cov_new, mp.cov))

@@ -75,6 +75,8 @@ class CoSlamEngine:
         self.group_id = np.zeros(C, np.int32)
         self.dyn_log: list[tuple] = []   # (frame, ids, xyz) dynamic snapshots
         self._last_merge = 0
+        self._split_pending = None   # grouping-split hysteresis (see below)
+        self.group_hist: list[tuple] = []   # per-frame group ids (for f_sep)
         self.merge_log: list[dict] = []
         self._kf_pose_host = None   # (R, t) of the last keyframe, np
         self._pose_host_cache = None
@@ -105,6 +107,7 @@ class CoSlamEngine:
         import time
         cfg = self.cfg
         t0 = time.perf_counter()
+        self._pose_host_cache = None   # state.R/t will change this frame
         imgs = jnp.asarray(images, jnp.float32)
         if self.bootstrapped and self.use_fused and self.frame > 0:
             from coslam_tpu.slam.fused import frame_step
@@ -117,6 +120,7 @@ class CoSlamEngine:
             if self.log_features:
                 self._log_features()
             self.pyr_prev = pyr
+            self.group_hist.append(tuple(self.group_id.tolist()))
             self.frame += 1
             stats.setdefault("n_inliers", np.zeros(cfg.num_cameras))
             self.stats_log.append(stats)
@@ -148,6 +152,7 @@ class CoSlamEngine:
         if self.log_features and self.bootstrapped:
             self._log_features()
         self.pyr_prev = pyr
+        self.group_hist.append(tuple(self.group_id.tolist()))
         self.frame += 1
         stats.setdefault("n_inliers", np.zeros(cfg.num_cameras))
         self.stats_log.append(stats)
@@ -334,10 +339,7 @@ class CoSlamEngine:
             settled = not self.merge_log or \
                 self.frame - self.merge_log[-1]["frame"] > 12
             if self.frame % GROUPING_INTERVAL == 0 and settled:
-                from coslam_tpu.slam.grouping import camera_grouping
-                self.group_id = camera_grouping(self.state, cfg)
-                self.state = self.state._replace(
-                    group_id=jnp.asarray(self.group_id))
+                self._update_grouping()
             if (len(np.unique(self.group_id)) > 1
                     and self.frame % GROUPING_INTERVAL == 0
                     and self.frame - self._last_merge
@@ -408,6 +410,7 @@ class CoSlamEngine:
                 from coslam_tpu.slam.intercam import joint_pose_update
                 R, t = joint_pose_update(self.state, self.K, cfg)
                 self.state = self.state._replace(R=R, t=t)
+                self._pose_host_cache = None
                 joint = True
         self.state = steps.push_pose_history(self.state)
         t0 = self._tick("pose_update", t0)
@@ -425,10 +428,7 @@ class CoSlamEngine:
             settled = not self.merge_log or \
                 self.frame - self.merge_log[-1]["frame"] > 12
             if self.frame % GROUPING_INTERVAL == 0 and settled:
-                from coslam_tpu.slam.grouping import camera_grouping
-                self.group_id = camera_grouping(self.state, cfg)
-                self.state = self.state._replace(
-                    group_id=jnp.asarray(self.group_id))
+                self._update_grouping()
             # group merge (SL_CoSLAM::mergeCamGroups, SURVEY.md §3.5)
             if (len(np.unique(self.group_id)) > 1
                     and self.frame % GROUPING_INTERVAL == 0
@@ -554,8 +554,16 @@ class CoSlamEngine:
             cand = MergeCandidate(cam_a=cand.cam_b, cam_b=cand.cam_a,
                                   overlap=cand.overlap)
         cands = [cand]
+        # last frame the two groups were still one (anchor for distributing
+        # the realignment — searchFirstKeyFrameForMerge's role)
+        f_sep = 0
+        for f in range(len(self.group_hist) - 1, -1, -1):
+            g = self.group_hist[f]
+            if g[cand.cam_a] == g[cand.cam_b]:
+                f_sep = f
+                break
         res = merge_groups(self.state, cfg, pyr, self.K, self.kc,
-                           self.group_id, cands[0])
+                           self.group_id, cands[0], f_sep=f_sep)
         self._last_merge = self.frame
         if res.ok:
             self.state = fuse_duplicate_points(res.state, cfg,
@@ -584,6 +592,40 @@ class CoSlamEngine:
             # caches are stale now
             self._pose_host_cache = None
             self._kf_pose_host = None
+            # local BA over the merged window (the reference's
+            # genMergeInfoVer2 robust BA + recomputeMapPoints,
+            # SL_MergeCameraGroup.cpp:557-725,1175-1183): the rigid
+            # realignment leaves the moving group's drift accumulated
+            # during separation; a joint polish over both groups'
+            # recent keyframes absorbs most of it
+            self.state = self.state._replace(kfs=steps.add_keyframe(self.state))
+            self.kf_frames.append(self.frame)
+            self._kf_pose_host = None
+            self._run_ba()
+
+    def _update_grouping(self):
+        """Recompute camera groups with SPLIT hysteresis: a proposal that
+        separates currently co-grouped cameras must persist for two
+        consecutive grouping rounds before it is committed. Shared
+        observations fluctuate around the threshold right after merges and
+        occlusions; acting on one low reading triggers a split followed by
+        an immediate weak-evidence re-merge, which is far more damaging
+        than reacting one round later. Joins apply immediately (the
+        cameras already share one map)."""
+        from coslam_tpu.slam.grouping import camera_grouping
+        gid = camera_grouping(self.state, self.cfg)
+        cur = self.group_id
+        C = self.cfg.num_cameras
+        splits = any(cur[i] == cur[j] and gid[i] != gid[j]
+                     for i in range(C) for j in range(i + 1, C))
+        if splits:
+            key = tuple(gid.tolist())
+            if self._split_pending != key:
+                self._split_pending = key
+                return
+        self._split_pending = None
+        self.group_id = gid
+        self.state = self.state._replace(group_id=jnp.asarray(gid))
 
     def _store_dynamic_snapshot(self):
         """Per-frame dynamic-point snapshot (storeDynamicPoints,
@@ -598,13 +640,17 @@ class CoSlamEngine:
             self.dyn_log.append((self.frame, ids, np.asarray(xyz)[dyn]))
 
     def _pose_host(self):
-        """Current (R, t) as numpy, pulled at most once per frame."""
-        if self._pose_host_cache is None or \
-                self._pose_host_cache[0] != self.frame:
+        """Current (R, t) as numpy, fetched once per state change.
+
+        Invalidation is explicit (``_pose_host_cache = None`` wherever
+        state.R/t is rewritten) rather than frame-keyed: a frame-keyed
+        cache is poisoned when an external caller reads the pose between
+        frames — the next frame's bookkeeping would then see a stale
+        pose, and downstream keyframe decisions are sensitive to it."""
+        if self._pose_host_cache is None:
             R, t = jax.device_get((self.state.R, self.state.t))
-            self._pose_host_cache = (self.frame, np.asarray(R),
-                                     np.asarray(t))
-        return self._pose_host_cache[1], self._pose_host_cache[2]
+            self._pose_host_cache = (np.asarray(R), np.asarray(t))
+        return self._pose_host_cache
 
     # ------------------------------------------------------------------
     def _record_pose(self):
