@@ -82,8 +82,31 @@ def detect_corners(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
             exclude_pos, exclude_valid)
         occ = max_pool_same(occ, cfg.min_distance) > 0.5
         is_max = is_max & ~occ
-    masked = jnp.where(is_max, corner, 0.0).reshape(c, h * w)
-    score, idx = jax.lax.top_k(masked, k)
+    masked = jnp.where(is_max, corner, 0.0)
+    # Pre-reduce before the top-k sort: NMS keeps survivors > min_distance
+    # apart (Chebyshev), so a BxB block with B <= min_distance + 1 holds at
+    # most one survivor (up to exact-tie duplicates) — reduce each block to
+    # (max score, flat index of the max) and sort only the ~H*W/B^2 block
+    # maxima instead of all H*W pixels (the sort dominated detect cost).
+    B = cfg.min_distance + 1
+    nb = -(-h // B) * -(-w // B)
+    if nb >= k:
+        blockmax = jax.lax.reduce_window(
+            masked, 0.0, jax.lax.max, window_dimensions=(1, B, B),
+            window_strides=(1, B, B), padding="SAME")
+        up = jnp.repeat(jnp.repeat(blockmax, B, axis=1), B, axis=2)
+        up = up[:, :h, :w]
+        flat_idx = (by * w + bx).astype(jnp.float32)   # < 2^24, f32-exact
+        cand = jnp.where((masked == up) & (masked > 0.0), flat_idx, -1.0)
+        blockidx = jax.lax.reduce_window(
+            cand, -1.0, jax.lax.max, window_dimensions=(1, B, B),
+            window_strides=(1, B, B), padding="SAME")
+        score, bsel = jax.lax.top_k(blockmax.reshape(c, -1), k)
+        idx = jnp.take_along_axis(blockidx.reshape(c, -1), bsel,
+                                  axis=-1).astype(jnp.int32)
+        idx = jnp.maximum(idx, 0)
+    else:
+        score, idx = jax.lax.top_k(masked.reshape(c, h * w), k)
     pos = jnp.stack([(idx % w).astype(img.dtype), (idx // w).astype(img.dtype)],
                     axis=-1)
     return CornerResult(pos=pos, score=score, valid=score > 0.0)
