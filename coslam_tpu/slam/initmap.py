@@ -181,6 +181,7 @@ def init_map_multicam(cfg: SlamConfig, K, kc, pyr, pos, valid) -> InitMapResult:
     order = _camera_order(counts)
     obs = _chain_tracks(order, matches, N)
     if obs.shape[0] < 30:
+        _dbg("too few chained tracks", obs.shape[0])
         return fail
     pos_np = np.asarray(pos)
     xn = [np.asarray(cam.normalize_points(pos[c], K[c], kc[c]))
@@ -191,6 +192,7 @@ def init_map_multicam(cfg: SlamConfig, K, kc, pyr, pos, valid) -> InitMapResult:
     ci, cj = int(min(ci, cj)), int(max(ci, cj))
     pair_rows = (obs[:, ci] >= 0) & (obs[:, cj] >= 0)
     if pair_rows.sum() < 16:
+        _dbg("seed pair rows", int(pair_rows.sum()))
         return fail
     x1 = xn[ci][obs[pair_rows, ci]]
     x2 = xn[cj][obs[pair_rows, cj]]
@@ -206,10 +208,12 @@ def init_map_multicam(cfg: SlamConfig, K, kc, pyr, pos, valid) -> InitMapResult:
     R_end, t_end, Xe, good = epipolar.recover_pose_from_essential(
         res.F, jnp.asarray(x1p), jnp.asarray(x2p), res.inliers)
     if int(jnp.sum(good)) < 12:
+        _dbg("E-recovery inliers", int(jnp.sum(good)), "of", M0)
         return fail
     # scale anchor: median depth in the seed camera
     med_z = float(jnp.nanmedian(jnp.where(good, Xe[:, 2], jnp.nan)))
     if not np.isfinite(med_z) or med_z <= 0:
+        _dbg("bad median depth", med_z)
         return fail
     s = p.bootstrap_depth / med_z
     Xe = np.asarray(Xe) * s

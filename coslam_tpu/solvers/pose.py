@@ -61,6 +61,76 @@ def _weighted_cost(r, w):
     return jnp.sum(w * jnp.sum(r * r, axis=-1))
 
 
+# --- lane-major internals -------------------------------------------------
+# The LM loop keeps every per-point array as [.., N] so the point axis sits
+# on the 128-wide lane dimension; the [N, 2, 6] Jacobian layout puts 6 (of
+# 128) lanes x 2 (of 8) sublanes to work (~5% occupancy) and was the single
+# most expensive fusion of the fused frame step (~2 ms/frame in the
+# while-loop body).
+
+
+def _residuals_ln(K, R, t, XT, pxT):
+    """XT: [3, N] world points; pxT: [2, N]. Returns (ru, rv, Xc [3, N])."""
+    Xc = R @ XT + t[:, None]
+    z = Xc[2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    ru = fx * Xc[0] / zs + cx - pxT[0]
+    rv = fy * Xc[1] / zs + cy - pxT[1]
+    return ru, rv, Xc
+
+
+def _jacobian_ln(K, Xc):
+    """Analytic rows of the 2x6 left-increment Jacobian, points on lanes.
+
+    Returns (Ju, Jv): [6, N] each, columns ordered (w1, w2, w3, v1, v2, v3).
+    Same math as _jacobian (Jc @ [-hat(Xc) | I]) written out flat."""
+    x, y, z = Xc[0], Xc[1], Xc[2]
+    zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    fx, fy = K[0, 0], K[1, 1]
+    xz = x * zi
+    yz = y * zi
+    zero = jnp.zeros_like(x)
+    Ju = jnp.stack([-fx * xz * yz, fx * (1.0 + xz * xz), -fx * yz,
+                    fx * zi, zero, -fx * xz * zi])
+    Jv = jnp.stack([-fy * (1.0 + yz * yz), fy * xz * yz, fy * xz,
+                    zero, fy * zi, -fy * yz * zi])
+    return Ju, Jv
+
+
+def _chol_solve6(A, b):
+    """Solve the SPD 6x6 system A x = b by fully unrolled Cholesky (the
+    lax.linalg LU custom-call + two triangular solves cost ~8 us per LM
+    iteration for this tiny, batched-over-cameras system)."""
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 @partial(jax.jit, static_argnames=("n_irls", "n_lm"))
 def irls_pose(K: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
               X: jnp.ndarray, px: jnp.ndarray, valid: jnp.ndarray,
@@ -76,24 +146,27 @@ def irls_pose(K: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
     base_w = valid.astype(X.dtype)
     if point_weight is not None:
         base_w = base_w * point_weight
+    XT = X.T                     # [3, N] — points on lanes
+    pxT = px.T                   # [2, N]
 
     def lm_inner(carry, _):
         R, t, lam, w = carry
-        r, Xc = _residuals(K, R, t, X, px)
-        behind = Xc[:, 2] <= 1e-6
-        we = jnp.where(behind, 0.0, w)
-        J = _jacobian(K, Xc)
-        H = jnp.einsum("n,nki,nkj->ij", we, J, J)
-        g = jnp.einsum("n,nki,nk->i", we, J, r)
-        cost = _weighted_cost(r, we)
+        ru, rv, Xc = _residuals_ln(K, R, t, XT, pxT)
+        we = jnp.where(Xc[2] <= 1e-6, 0.0, w)
+        Ju, Jv = _jacobian_ln(K, Xc)                     # [6, N] each
+        Juw = Ju * we[None, :]
+        Jvw = Jv * we[None, :]
+        H = Juw @ Ju.T + Jvw @ Jv.T                      # [6, 6]
+        g = Juw @ ru + Jvw @ rv                          # [6]
+        cost = jnp.sum(we * (ru * ru + rv * rv))
         Hd = H + lam * jnp.diag(jnp.diagonal(H) + 1e-6)
-        delta = -jnp.linalg.solve(Hd, g)
+        delta = -_chol_solve6(Hd, g)
         dR, dt = se3_exp(delta)
         R_new = dR @ R
         t_new = jnp.einsum("ij,j->i", dR, t) + dt
-        r_new, Xc_new = _residuals(K, R_new, t_new, X, px)
-        we_new = jnp.where(Xc_new[:, 2] <= 1e-6, 0.0, w)
-        cost_new = _weighted_cost(r_new, we_new)
+        ru_n, rv_n, Xc_new = _residuals_ln(K, R_new, t_new, XT, pxT)
+        we_new = jnp.where(Xc_new[2] <= 1e-6, 0.0, w)
+        cost_new = jnp.sum(we_new * (ru_n * ru_n + rv_n * rv_n))
         ok = (cost_new < cost) & jnp.all(jnp.isfinite(delta))
         R = jnp.where(ok, R_new, R)
         t = jnp.where(ok, t_new, t)
@@ -103,8 +176,8 @@ def irls_pose(K: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
 
     def irls_outer(carry, k):
         R, t, w = carry
-        r, Xc = _residuals(K, R, t, X, px)
-        en = jnp.linalg.norm(r, axis=-1)
+        ru, rv, _ = _residuals_ln(K, R, t, XT, pxT)
+        en = jnp.sqrt(ru * ru + rv * rv)
         # Huber on all but the last pass (never zero, so a far-off init with
         # all residuals beyond tau still produces a gradient); Tukey on the
         # last pass for hard outlier rejection.

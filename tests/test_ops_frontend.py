@@ -176,3 +176,35 @@ def test_tvl1_flow_translation(rng):
     inner = np.asarray(flow[0, 12:-12, 12:-12])
     med = np.median(inner.reshape(-1, 2), axis=0)
     np.testing.assert_allclose(med, [3.0, -2.0], atol=0.5)
+
+
+def test_detect_corners_block_reduce_matches_per_pixel(rng):
+    # Regression: the block-reduced top-k path must return exactly the
+    # corners of the per-pixel formulation, including when the image size
+    # is NOT a multiple of the block (padding used to shift block origins).
+    h, w = 150, 200           # 200 % (min_distance+1) != 0
+    img = smooth_texture(rng, h, w)
+    pyr = build_pyramid(img, 1)
+    cfg = KLTConfig(min_cornerness=10.0, min_distance=5)
+    k = 64
+    res = detect_corners(pyr.imgs[0], pyr.dxs[0], pyr.dys[0], cfg, k=k)
+    # per-pixel reference (the pre-block-reduce algorithm)
+    from coslam_tpu.ops.corners import cornerness_map
+    from coslam_tpu.ops.image import max_pool_same
+    corner = np.asarray(cornerness_map(pyr.dxs[0], pyr.dys[0],
+                                       cfg.window_radius))[0]
+    b = cfg.border
+    m = np.zeros((h, w), bool)
+    m[b:h - b, b:w - b] = True
+    corner = np.where(m, corner, 0.0)
+    pooled = np.asarray(max_pool_same(jnp.asarray(corner)[None],
+                                      cfg.min_distance))[0]
+    is_max = (corner >= pooled) & (corner > cfg.min_cornerness)
+    masked = np.where(is_max, corner, 0.0).ravel()
+    ref_idx = np.argsort(-masked, kind="stable")[:k]
+    ref = {int(i) for i in ref_idx if masked[i] > 0}
+    got_pos = np.asarray(res.pos[0])
+    got_ok = np.asarray(res.valid[0])
+    got = {int(got_pos[i, 1]) * w + int(got_pos[i, 0])
+           for i in range(k) if got_ok[i]}
+    assert got == ref
