@@ -38,8 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from coslam_tpu.config import KLTConfig
-from coslam_tpu.ops.patches import (extract_patches, extract_windows_onehot,
-                                    frac_shift)
+from coslam_tpu.ops.patches import extract_windows, frac_shift
 from coslam_tpu.ops.pyramid import Pyramid
 
 # search margin per level (px): integer displacement handled inside one
@@ -76,10 +75,16 @@ def _int_subwindow(Wnd: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
 
 
 def _track_level(img_t, img_c, pos_t, q, g, cfg: KLTConfig):
-    """One pyramid level, one camera. pos_t: [N, 2] template positions
-    (level coords); q: [N, 2] current estimates. Returns (q, g, ok, e)."""
-    h, w = img_c.shape
-    N = q.shape[0]
+    """One pyramid level, all cameras (flattened). img_t/img_c: [C, h, w];
+    pos_t: [C*N, 2] template positions (level coords); q: [C*N, 2] current
+    estimates. Returns (q, g, ok, e), all [C*N].
+
+    Cameras ride the feature axis: every per-feature op is elementwise
+    over it, and the window extractor resolves each feature's camera, so
+    no vmap (and no per-camera dispatch) is needed."""
+    C, h, w = img_c.shape
+    CN = q.shape[0]
+    N = CN // C
     r = cfg.window_radius
     S = 2 * r + 1
     G = S + 1 + 2 * _MARGIN            # target window size
@@ -87,10 +92,10 @@ def _track_level(img_t, img_c, pos_t, q, g, cfg: KLTConfig):
     GT = S + 3                         # template window (patch + grad + lerp)
     f32 = jnp.float32
 
-    # --- template: T [S,S,N], gradients, fixed Hessian ---
+    # --- template: T [S,S,CN], gradients, fixed Hessian ---
     bt = jnp.floor(pos_t - r).astype(jnp.int32) - 1
     bt = jnp.clip(bt, 0, jnp.array([w - GT, h - GT], jnp.int32))
-    Wt = extract_windows_onehot(img_t, bt, GT)
+    Wt = extract_windows(img_t, bt.reshape(C, N, 2), GT).reshape(GT, GT, CN)
     ft = pos_t - r - 1 - bt.astype(f32)
     ftx = jnp.clip(ft[:, 0], 0.0, 1.0)[None, None, :]
     fty = jnp.clip(ft[:, 1], 0.0, 1.0)[None, None, :]
@@ -107,7 +112,7 @@ def _track_level(img_t, img_c, pos_t, q, g, cfg: KLTConfig):
     # --- target window around the level-start estimate ---
     b = jnp.floor(q - r).astype(jnp.int32) - _MARGIN
     b = jnp.clip(b, 0, jnp.array([w - G, h - G], jnp.int32))
-    Wc = extract_windows_onehot(img_c, b, G)
+    Wc = extract_windows(img_c, b.reshape(C, N, 2), G).reshape(G, G, CN)
     lam = jnp.asarray(cfg.gain_lambda, f32)
 
     def body(carry):
@@ -141,7 +146,7 @@ def _track_level(img_t, img_c, pos_t, q, g, cfg: KLTConfig):
 
     # early-exit while_loop: typical frames converge in 3-5 iterations,
     # ~2x cheaper than a fixed 12-iteration fori_loop
-    done0 = jnp.zeros((N,), bool)
+    done0 = jnp.zeros((CN,), bool)
     _, q, g, _ = jax.lax.while_loop(
         lambda c: (c[0] < cfg.n_iterations) & ~jnp.all(c[3]),
         body, (jnp.zeros((), jnp.int32), q, g, done0))
@@ -159,26 +164,35 @@ def _track_level(img_t, img_c, pos_t, q, g, cfg: KLTConfig):
     return q, g, ok, ssd
 
 
-def _klt_track_single(pyr_prev: Pyramid, pyr_cur: Pyramid, pos: jnp.ndarray,
-                      valid: jnp.ndarray, cfg: KLTConfig) -> KLTResult:
-    """One camera. pos: [N, 2] full-res positions in the previous frame."""
+@partial(jax.jit, static_argnames=("cfg",))
+def klt_track(pyr_prev: Pyramid, pyr_cur: Pyramid, pos: jnp.ndarray,
+              valid: jnp.ndarray, cfg: KLTConfig) -> KLTResult:
+    """Track features from the previous to the current frame, all cameras.
+
+    pyr_*: camera-batched pyramids ([C, H_l, W_l] per level);
+    pos: [C, N, 2]; valid: [C, N]. Cameras are flattened into the feature
+    axis (no vmap): every op is elementwise over features except the
+    window extraction, which is camera-aware.
+    """
+    C, N = pos.shape[:2]
     levels = _levels_schedule(len(pyr_prev.imgs), cfg.level_skip)
     # drop levels whose image is smaller than the search window (the ±margin
     # at the next finer level still covers the motion those levels would)
     r = cfg.window_radius
     G = 2 * r + 2 + 2 * _MARGIN
     levels = [l for l in levels
-              if min(pyr_cur.imgs[l].shape) >= G + 2 or l == 0]
+              if min(pyr_cur.imgs[l].shape[1:]) >= G + 2 or l == 0]
     top = levels[0]
-    q = pos * (0.5 ** top)
-    g = jnp.ones(pos.shape[0], dtype=pos.dtype)
-    ok = valid
+    pos_f = pos.reshape(C * N, 2)
+    q = pos_f * (0.5 ** top)
+    g = jnp.ones(C * N, dtype=pos.dtype)
+    ok = valid.reshape(C * N)
     prev_l = top
-    ssd = jnp.zeros(pos.shape[0], pos.dtype)
+    ssd = jnp.zeros(C * N, pos.dtype)
     for li, l in enumerate(levels):
         if li > 0:
             q = q * (2.0 ** (prev_l - l))
-        pos_t = pos * (0.5 ** l)
+        pos_t = pos_f * (0.5 ** l)
         q, g, ok_l, ssd = _track_level(
             pyr_prev.imgs[l], pyr_cur.imgs[l], pos_t, q, g, cfg)
         # only the finest level's search-range check gates validity: coarse
@@ -187,22 +201,11 @@ def _klt_track_single(pyr_prev: Pyramid, pyr_cur: Pyramid, pos: jnp.ndarray,
         if l == 0:
             ok = ok & ok_l
         prev_l = l
-    h, w = pyr_cur.imgs[0].shape
+    h, w = pyr_cur.imgs[0].shape[1:]
     bdr = float(cfg.border)
     in_border = ((q[:, 0] >= bdr) & (q[:, 0] <= w - 1 - bdr)
                  & (q[:, 1] >= bdr) & (q[:, 1] <= h - 1 - bdr))
     ok = ok & in_border & (ssd < cfg.ssd_threshold) & \
         jnp.all(jnp.isfinite(q), -1)
-    return KLTResult(pos=q, valid=ok, ssd=ssd, gain=g)
-
-
-@partial(jax.jit, static_argnames=("cfg",))
-def klt_track(pyr_prev: Pyramid, pyr_cur: Pyramid, pos: jnp.ndarray,
-              valid: jnp.ndarray, cfg: KLTConfig) -> KLTResult:
-    """Track features from the previous to the current frame, all cameras.
-
-    pyr_*: camera-batched pyramids ([C, H_l, W_l] per level);
-    pos: [C, N, 2]; valid: [C, N].
-    """
-    return jax.vmap(lambda pp, pc, p, v: _klt_track_single(pp, pc, p, v, cfg)
-                    )(pyr_prev, pyr_cur, pos, valid)
+    return KLTResult(pos=q.reshape(C, N, 2), valid=ok.reshape(C, N),
+                     ssd=ssd.reshape(C, N), gain=g.reshape(C, N))

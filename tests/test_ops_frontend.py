@@ -208,3 +208,21 @@ def test_detect_corners_block_reduce_matches_per_pixel(rng):
     got = {int(got_pos[i, 1]) * w + int(got_pos[i, 0])
            for i in range(k) if got_ok[i]}
     assert got == ref
+
+
+def test_extract_windows_exact(rng):
+    # extract_windows (gather fallback; the pallas path is validated
+    # against it on TPU — both are exact pixel selections)
+    from coslam_tpu.ops.patches import extract_windows
+    C, h, w, n, g = 2, 150, 200, 64, 14
+    imgs = jnp.asarray(rng.uniform(0, 255, (C, h, w)), jnp.float32)
+    bx = rng.integers(0, w - g, (C, n))
+    by = rng.integers(0, h - g, (C, n))
+    base = jnp.asarray(np.stack([bx, by], -1), jnp.int32)
+    out = np.asarray(extract_windows(imgs, base, g))      # [g, g, C, n]
+    imgs_np = np.asarray(imgs)
+    for c in range(C):
+        for i in range(0, n, 7):
+            x0, y0 = int(bx[c, i]), int(by[c, i])
+            np.testing.assert_array_equal(
+                out[:, :, c, i], imgs_np[c, y0:y0 + g, x0:x0 + g])
