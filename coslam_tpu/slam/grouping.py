@@ -2,11 +2,11 @@
 
 Replaces ``CoSLAM::cameraGrouping`` (SL_CoSLAM.cpp:1632-1697) with
 ``getViewOverlapCosts`` (:1543-1630, shared-point convex hulls) and
-LibVisualSLAM ``findConnectedComponents``. The overlap statistic here is
-the shared-map-point count weighted by the shared points' image coverage
-(bounding-box fraction — a cheap stand-in for the reference's convex-hull
-area that behaves the same for grouping thresholds). Group membership is
-tiny host data; the counts come from one device reduction.
+LibVisualSLAM ``findConnectedComponents``. The overlap statistic is the
+shared-map-point count weighted by the shared points' convex-hull image
+coverage, like the reference — the hull area comes from the batched
+direction-sweep hull (geometry/hull.py) so all C^2 hulls are one device
+reduction. Group membership is tiny host data.
 """
 
 from __future__ import annotations
@@ -32,17 +32,13 @@ def view_overlap_counts(state: SlamState):
     ok = obs_ok & alive[:, None]                     # [P, C]
     shared = jnp.einsum("pi,pj->ij", ok.astype(jnp.float32),
                         ok.astype(jnp.float32))
-    # coverage of shared points (bbox area fraction, computed per pair in
-    # camera i's image)
-    x = obs_px[..., 0]
-    y = obs_px[..., 1]
+    # convex-hull coverage of shared points, per pair, in camera i's image
+    # (getViewOverlapCosts builds the shared-point hull per camera pair)
+    from coslam_tpu.geometry.hull import hull_area_masked
     pair_ok = ok[:, :, None] & ok[:, None, :]        # [P, C, C]
-    big = 1e9
-    xmin = jnp.min(jnp.where(pair_ok, x[:, :, None], big), axis=0)
-    xmax = jnp.max(jnp.where(pair_ok, x[:, :, None], -big), axis=0)
-    ymin = jnp.min(jnp.where(pair_ok, y[:, :, None], big), axis=0)
-    ymax = jnp.max(jnp.where(pair_ok, y[:, :, None], -big), axis=0)
-    area = jnp.clip(xmax - xmin, 0) * jnp.clip(ymax - ymin, 0)
+    x = jnp.broadcast_to(obs_px[..., 0][:, :, None], pair_ok.shape)
+    y = jnp.broadcast_to(obs_px[..., 1][:, :, None], pair_ok.shape)
+    area = hull_area_masked(x, y, pair_ok)
     return shared, area
 
 

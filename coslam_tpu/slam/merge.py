@@ -82,20 +82,35 @@ def find_merge_candidates(state: SlamState, cfg: SlamConfig,
     return out
 
 
-def projected_overlap(K, Xc, ok, h, w):
+def projected_overlap(K, Xc, ok, h, w, feat_hull=None):
+    """Count points projecting into camera a's view. When ``feat_hull`` (a
+    CCW polygon of the camera's live feature positions) is given, the test
+    is containment in that hull — the reference's checkViewOverlap builds a
+    convex-hull mask of the viewing camera's features and counts the other
+    group's projections inside it (SL_MergeCameraGroup.cpp:103-141), which
+    rejects overlaps where the projections land on untracked image regions.
+    """
     z = np.where(np.abs(Xc[:, 2]) < 1e-9, 1e-9, Xc[:, 2])
     u = Xc[:, 0] / z * K[0, 0] + K[0, 2]
     v = Xc[:, 1] / z * K[1, 1] + K[1, 2]
     inside = ok & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    if feat_hull is not None and len(feat_hull) >= 3:
+        from coslam_tpu.geometry.hull import points_in_hull
+        inside = inside & points_in_hull(np.stack([u, v], -1), feat_hull)
     return int(inside.sum())
 
 
 def merge_candidates(state: SlamState, cfg: SlamConfig, K: np.ndarray,
                      group_id: np.ndarray) -> list[MergeCandidate]:
+    from coslam_tpu.geometry.hull import convex_hull
     cands = []
     h, w = cfg.image_height, cfg.image_width
+    pos = np.asarray(state.tracks.pos)
+    tvalid = np.asarray(state.tracks.valid)
+    hulls = [convex_hull(pos[c][tvalid[c]]) if tvalid[c].sum() >= 3 else None
+             for c in range(cfg.num_cameras)]
     for (a, b, Xc, ok) in find_merge_candidates(state, cfg, group_id):
-        n = projected_overlap(K[a], Xc, ok, h, w)
+        n = projected_overlap(K[a], Xc, ok, h, w, feat_hull=hulls[a])
         if n >= cfg.p.merge_overlap_min:
             cands.append(MergeCandidate(cam_a=a, cam_b=b, overlap=n))
     cands.sort(key=lambda c: -c.overlap)

@@ -97,6 +97,14 @@ def main():
     png = os.path.splitext(out)[0] + ".png"
     if write_png(png, pts, trajs):
         print(f"wrote {png}")
+    # full 3D scene pane (GLScenePane equivalent)
+    try:
+        from coslam_tpu.io.viz import render_export_dir
+        scene3d = os.path.splitext(out)[0] + "_3d.png"
+        render_export_dir(args.results_dir, scene3d)
+        print(f"wrote {scene3d}")
+    except ImportError:
+        pass
 
 
 if __name__ == "__main__":
