@@ -142,6 +142,41 @@ def ransac_fundamental(key: jax.Array, x1: jnp.ndarray, x2: jnp.ndarray,
     return RansacResult(F=F, inliers=inliers, num_inliers=jnp.sum(inliers))
 
 
+def ransac_essential(key: jax.Array, x1n: jnp.ndarray, x2n: jnp.ndarray,
+                     mask: jnp.ndarray, num_hypotheses: int = 256,
+                     thresh: float = 2e-5,
+                     n_hyp_5pt: int = 64) -> RansacResult:
+    """Essential-matrix RANSAC on normalized coordinates: the batched
+    8-point device path plus the 5-point minimal solver (SL_5point.h
+    equivalent, geometry/fivepoint.py), keeping whichever model explains
+    more correspondences. The 5-point path wins on minimal/near-planar
+    wide-baseline samples where 8-point hypotheses are degenerate."""
+    res8 = ransac_fundamental(key, x1n, x2n, mask,
+                              num_hypotheses=num_hypotheses, thresh=thresh)
+    if n_hyp_5pt <= 0 or int(jnp.sum(mask)) < 5:
+        return res8
+    import numpy as np
+    from coslam_tpu.geometry.fivepoint import ransac_essential_5pt
+    E5, inl5, n5 = ransac_essential_5pt(
+        np.asarray(x1n), np.asarray(x2n), np.asarray(mask),
+        n_hyp=n_hyp_5pt, thresh=thresh,
+        seed=int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    if n5 <= int(res8.num_inliers):
+        return res8
+    # polish the 5-point winner with a weighted all-inlier refit
+    inliers = jnp.asarray(inl5)
+    F = jnp.asarray(E5, x1n.dtype)
+    for _ in range(2):
+        F = fit_fundamental(x1n, x2n, inliers.astype(x1n.dtype))
+        inliers = (sampson_error(F, x1n, x2n) < thresh) & mask
+    # keep the refit only if it did not lose inliers
+    keep = jnp.sum(inliers) >= n5
+    F = jnp.where(keep, F, jnp.asarray(E5, x1n.dtype))
+    inliers = jnp.where(keep, inliers, jnp.asarray(inl5))
+    return RansacResult(F=F, inliers=inliers,
+                        num_inliers=jnp.sum(inliers))
+
+
 def decompose_essential(E: jnp.ndarray):
     """E -> four (R, t) candidates, ||t|| = 1. Returns (Rs [4,3,3], ts [4,3])."""
     U, _, Vt = jnp.linalg.svd(E)

@@ -202,7 +202,7 @@ def init_map_multicam(cfg: SlamConfig, K, kc, pyr, pos, valid) -> InitMapResult:
     x2p = np.pad(x2, ((0, pad), (0, 0)))
     maskp = np.zeros(x1p.shape[0], bool)
     maskp[:M0] = True
-    res = epipolar.ransac_fundamental(
+    res = epipolar.ransac_essential(
         jax.random.PRNGKey(0), jnp.asarray(x1p), jnp.asarray(x2p),
         jnp.asarray(maskp), num_hypotheses=512, thresh=3e-5)
     R_end, t_end, Xe, good = epipolar.recover_pose_from_essential(

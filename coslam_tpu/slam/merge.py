@@ -151,7 +151,7 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
     xb = np.asarray(cam.normalize_points(tracks.pos[b], K[b], kc[b]))[
         sel[pairs]]
     N0 = len(xa)
-    res = epipolar.ransac_fundamental(
+    res = epipolar.ransac_essential(
         jax.random.PRNGKey(int(state.frame)), jnp.asarray(xa),
         jnp.asarray(xb), jnp.ones(N0, bool), num_hypotheses=512, thresh=3e-5)
     # demand solid wide-baseline support: sparse bridges (~15 matches)

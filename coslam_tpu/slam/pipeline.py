@@ -48,9 +48,20 @@ class CoSlamEngine:
 
     def __init__(self, cfg: SlamConfig, K: np.ndarray, kc: np.ndarray,
                  profile: bool = False, log_features: bool = False,
-                 use_fused: bool = True):
+                 use_fused: bool = True, async_ba: bool = False,
+                 ba_device=None):
         self.cfg = cfg
         self.profile = profile
+        # async_ba: the reference runs windowed BA in a worker thread
+        # concurrently with tracking (SURVEY.md §3.4). TPU equivalent:
+        # dispatch the BA solve without blocking (jax async dispatch —
+        # onto ``ba_device`` when a spare mesh device is given), keep
+        # tracking, and apply the result a few frames later with
+        # generation-guarded write-back; a group merge cancels the
+        # in-flight result (the bCancelBA flag, SL_CoSLAM.cpp:1402,1719).
+        self.async_ba = async_ba
+        self.ba_device = ba_device
+        self._pending_ba: Optional[dict] = None
         # one fused device call for the per-frame core (tracking, pose,
         # classification, mapping) instead of ~6 dispatches — significant
         # when host<->device round trips are expensive
@@ -230,7 +241,7 @@ class CoSlamEngine:
         xn0 = cam.pixel_to_normalized(x0[c], self.K[c])
         xn1 = cam.pixel_to_normalized(st.tracks.pos[c], self.K[c])
         thresh = (1.5 / float(self.K[c, 0, 0])) ** 2
-        res = epipolar.ransac_fundamental(
+        res = epipolar.ransac_essential(
             jax.random.PRNGKey(self.frame), xn0, xn1, ok0[c],
             num_hypotheses=512, thresh=thresh)
         if int(res.num_inliers) < 30:
@@ -319,6 +330,7 @@ class CoSlamEngine:
         C = cfg.num_cameras
         p = cfg.p
         t0 = time.perf_counter()
+        self._poll_ba()
         # ONE host transfer for all per-frame scalars (each np.asarray is a
         # separate device round trip — ~27 ms each over the TPU tunnel)
         fs = jax.device_get(fs)
@@ -371,6 +383,10 @@ class CoSlamEngine:
             stats["n_static"] = int(fs.n_static)
             stats["n_dynamic"] = int(fs.n_dynamic)
         if self._keyframe_ready(fs):
+            # a new keyframe must snapshot BA-consistent poses: flush any
+            # in-flight BA first (the reference skips requestForBA while
+            # the worker is busy, SL_CoSLAM.cpp:1737-1757)
+            self._apply_pending_ba()
             self.state = self.state._replace(kfs=steps.add_keyframe(self.state))
             self.kf_frames.append(self.frame)
             self._kf_inliers = n_inl.copy()
@@ -396,6 +412,7 @@ class CoSlamEngine:
         C = cfg.num_cameras
         p = cfg.p
         t0 = time.perf_counter()
+        self._poll_ba()
         out = steps.pose_update(self.state, self.K, self.kc, self.img_hw, cfg)
         self.state = self.state._replace(
             R=out.R, t=out.t, tracks=out.tracks, mappts=out.mappts)
@@ -467,6 +484,7 @@ class CoSlamEngine:
             stats["n_static"] = int(cls.n_static)
             stats["n_dynamic"] = int(cls.n_dynamic)
         if self._keyframe_ready(out):
+            self._apply_pending_ba()
             self.state = self.state._replace(kfs=steps.add_keyframe(self.state))
             self.kf_frames.append(self.frame)
             self._kf_inliers = n_inl.copy()
@@ -519,7 +537,20 @@ class CoSlamEngine:
 
     def _run_ba(self):
         cfg = self.cfg
+        if self._pending_ba is not None:     # never two BAs in flight
+            self._apply_pending_ba()
         prob, ring, kf_ok = steps.build_ba_problem(self.state, self.K, cfg)
+        if self.async_ba:
+            solve_prob = prob
+            if self.ba_device is not None:
+                solve_prob = jax.device_put(prob, self.ba_device)
+            res = bundle_adjust(solve_prob, max_err=cfg.p.max_err,
+                                max_iter=cfg.p.ba_max_iter,
+                                inner_iter=cfg.p.ba_inner_iter)
+            self._pending_ba = {
+                "prob": prob, "res": res, "ring": ring, "kf_ok": kf_ok,
+                "gen0": self.state.mappts.gen, "frame": self.frame}
+            return
         res = bundle_adjust(prob, max_err=cfg.p.max_err,
                             max_iter=cfg.p.ba_max_iter,
                             inner_iter=cfg.p.ba_inner_iter)
@@ -527,6 +558,36 @@ class CoSlamEngine:
                                             kf_ok, cfg)
         self._pose_host_cache = None
         self._kf_pose_host = None
+
+    def _apply_pending_ba(self):
+        """Deferred write-back of an in-flight BA result (async_ba)."""
+        pb = self._pending_ba
+        if pb is None:
+            return
+        self._pending_ba = None
+        res = pb["res"]
+        if self.ba_device is not None:
+            dev0 = self.state.frame.devices().pop()
+            res = jax.device_put(res, dev0)
+        self.state = steps.apply_ba_results(
+            self.state, pb["prob"], res, pb["ring"], pb["kf_ok"],
+            self.cfg, gen0=pb["gen0"])
+        self._pose_host_cache = None
+        self._kf_pose_host = None
+
+    def _poll_ba(self, max_defer: int = 8):
+        """Apply the in-flight BA once its result is ready (or after
+        ``max_defer`` frames regardless — bounded staleness)."""
+        pb = self._pending_ba
+        if pb is None:
+            return
+        if pb["res"].cost.is_ready() or self.frame - pb["frame"] >= max_defer:
+            self._apply_pending_ba()
+
+    def _cancel_pending_ba(self):
+        """bCancelBA: a merge rewrites poses, so an in-flight BA computed
+        against pre-merge geometry must be dropped (SL_CoSLAM.cpp:1402)."""
+        self._pending_ba = None
 
     def _try_merge(self, pyr):
         from coslam_tpu.slam.merge import (merge_candidates, merge_groups,
@@ -566,6 +627,9 @@ class CoSlamEngine:
                            self.group_id, cands[0], f_sep=f_sep)
         self._last_merge = self.frame
         if res.ok:
+            # bCancelBA: an in-flight BA solved against pre-merge geometry
+            # must not write back over the realigned state
+            self._cancel_pending_ba()
             self.state = fuse_duplicate_points(res.state, cfg,
                                                self.group_id, cands[0])
             self.merge_log.append({

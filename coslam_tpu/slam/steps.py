@@ -437,11 +437,19 @@ def build_ba_problem(state: SlamState, K: jnp.ndarray,
 @partial(jax.jit, static_argnames=("cfg",))
 def apply_ba_results(state: SlamState, prob: BAProblem, res: BAResult,
                      ring: jnp.ndarray, kf_ok: jnp.ndarray,
-                     cfg: SlamConfig) -> SlamState:
+                     cfg: SlamConfig,
+                     gen0: jnp.ndarray | None = None) -> SlamState:
     """Write back BA-corrected keyframe poses and points; flag outlier
     points false (the Meas2D.outlier -> setFalse protocol,
     SL_CoSLAMRobustBA.cpp:296-309); rigidly carry the newest keyframe's
-    correction onto the live pose and pose history."""
+    correction onto the live pose and pose history.
+
+    ``gen0``: map-slot generations at BA *dispatch* time. For deferred
+    (asynchronous) application, point slots reclaimed and re-minted while
+    the solve was in flight are skipped — the device-native analogue of
+    the reference's mutex-guarded deferred write-back
+    (_bundleAdjustmentThread, SL_CoSLAM.cpp:1702-1730).
+    """
     kfs, mappts = state.kfs, state.mappts
     C = kfs.R.shape[1]
     W = ring.shape[0]
@@ -455,9 +463,12 @@ def apply_ba_results(state: SlamState, prob: BAProblem, res: BAResult,
     P = mappts.xyz.shape[0]
     n_bad = jax.ops.segment_sum(res.obs_outlier.astype(jnp.int32),
                                 prob.obs_pt, num_segments=P)
-    status = jnp.where((n_bad > 0) & (mappts.status == ST_ALIVE),
+    same = (mappts.gen == gen0) if gen0 is not None else \
+        jnp.ones((P,), bool)
+    xyz = jnp.where(same[:, None], res.X, mappts.xyz)
+    status = jnp.where((n_bad > 0) & same & (mappts.status == ST_ALIVE),
                        ST_FALSE, mappts.status)
-    mappts = mappts._replace(xyz=res.X, status=status)
+    mappts = mappts._replace(xyz=xyz, status=status)
     # live-pose correction from the newest keyframe:
     # T_cur' = T_cur o (T_kf_old^-1 o T_kf_new)
     newest = ring[W - 1]
