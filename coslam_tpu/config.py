@@ -84,6 +84,13 @@ class SlamParams:
     new_point_min_parallax_deg: float = 1.0  # min ray angle for triangulation
     init_frames: int = 10            # bootstrap tracking span (nInitFrm role)
     bootstrap_depth: float = 10.0    # monocular scale anchor: median scene depth
+    # loop closure (no reference analogue: the reference's merge machinery
+    # only realigns ACROSS camera groups; these parameters drive the same
+    # machinery when one group revisits its own dormant map)
+    loop_min_interval: int = 120     # frames between closure attempts
+    loop_dormant_age: int = 250      # unseen-for-this-long points anchor a loop
+    loop_overlap_min: int = 30       # dormant projections in view to trigger
+    loop_min_inliers: int = 16       # PnP inliers to commit a closure
 
 
 @dataclass(frozen=True)

@@ -94,6 +94,79 @@ def triangulate_multiview_linear(Rs: jnp.ndarray, ts: jnp.ndarray,
     return jnp.einsum("...ij,...j->...i", inv3x3_sym(H), g)
 
 
+def triangulate_multiview_ln(Rs: jnp.ndarray, ts: jnp.ndarray,
+                             xn: jnp.ndarray, w: jnp.ndarray):
+    """Lane-major multiview DLT for shared camera poses.
+
+    Rs: [C, 3, 3], ts: [C, 3] (the same views for every point);
+    xn: [C, 2, P] normalized coords; w: [C, P] weights/mask.
+    Returns (X [3, P], Hn [3][3] lower-triangular list of [P] normal-matrix
+    entries). The point axis sits on the 128-lane dimension and every 3x3
+    is unrolled scalars-times-vectors — the [P, V, 2, 4] row layout of
+    ``triangulate_multiview_linear`` wastes ~96% of each vector tile when
+    P is a leading axis (measured: the classification stage dropped ~4x
+    on rewriting to this form)."""
+    C = Rs.shape[0]
+    P = xn.shape[-1]
+    dt = xn.dtype
+    H = [[jnp.full((P,), 1e-9 if i == j else 0.0, dt) for j in range(3)]
+         for i in range(3)]
+    g = [jnp.zeros((P,), dt) for _ in range(3)]
+    for c in range(C):
+        R = Rs[c]
+        t = ts[c]
+        x, y = xn[c, 0], xn[c, 1]
+        wc = w[c].astype(dt)
+        M1 = [x * R[2, j] - R[0, j] for j in range(3)]   # 3 x [P]
+        M2 = [y * R[2, j] - R[1, j] for j in range(3)]
+        b1 = t[0] - x * t[2]
+        b2 = t[1] - y * t[2]
+        for i in range(3):
+            for j in range(i + 1):
+                H[i][j] = H[i][j] + wc * (M1[i] * M1[j] + M2[i] * M2[j])
+            g[i] = g[i] + wc * (M1[i] * b1 + M2[i] * b2)
+    X = solve3x3_sym_ln(H, g)
+    return jnp.stack(X), H
+
+
+def solve3x3_sym_ln(H, g):
+    """Solve the symmetric 3x3 system H x = g, entries as [P] vectors.
+    H: 3x3 nested list (lower triangle filled); g: list of 3 [P] arrays.
+    Returns a list of 3 [P] arrays (adjugate/determinant closed form)."""
+    a00, a01, a02 = H[0][0], H[1][0], H[2][0]
+    a11, a12, a22 = H[1][1], H[2][1], H[2][2]
+    c00 = a11 * a22 - a12 * a12
+    c01 = a02 * a12 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c11 = a00 * a22 - a02 * a02
+    c12 = a01 * a02 - a00 * a12
+    c22 = a00 * a11 - a01 * a01
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    x0 = (c00 * g[0] + c01 * g[1] + c02 * g[2]) / det
+    x1 = (c01 * g[0] + c11 * g[1] + c12 * g[2]) / det
+    x2 = (c02 * g[0] + c12 * g[1] + c22 * g[2]) / det
+    return [x0, x1, x2]
+
+
+def inv3x3_sym_ln(H):
+    """Inverse of symmetric 3x3 with [P]-vector entries: returns a 3x3
+    nested list (full, symmetric)."""
+    a00, a01, a02 = H[0][0], H[1][0], H[2][0]
+    a11, a12, a22 = H[1][1], H[2][1], H[2][2]
+    c00 = a11 * a22 - a12 * a12
+    c01 = a02 * a12 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c11 = a00 * a22 - a02 * a02
+    c12 = a01 * a02 - a00 * a12
+    c22 = a00 * a11 - a01 * a01
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    i00, i01, i02 = c00 / det, c01 / det, c02 / det
+    i11, i12, i22 = c11 / det, c12 / det, c22 / det
+    return [[i00, i01, i02], [i01, i11, i12], [i02, i12, i22]]
+
+
 def triangulate_two_view(R1, t1, R2, t2, xn1, xn2) -> jnp.ndarray:
     """binTriangulate equivalent. All args broadcast; xn* are [..., 2]."""
     Rs = jnp.stack([jnp.broadcast_to(R1, xn1.shape[:-1] + (3, 3)),

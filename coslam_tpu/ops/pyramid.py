@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from coslam_tpu.ops.image import gaussian_blur, sobel_derivatives, downsample2
@@ -30,14 +31,31 @@ class Pyramid(NamedTuple):
         return len(self.imgs)
 
 
-def build_pyramid(img: jnp.ndarray, n_levels: int) -> Pyramid:
+def build_pyramid(img: jnp.ndarray, n_levels: int,
+                  impl: str | None = None) -> Pyramid:
     """img: [C, H, W] f32 grayscale (0..255 scale). Returns n_levels levels;
-    level 0 is the blurred full-res image."""
+    level 0 is the blurred full-res image.
+
+    impl: "pallas" | "xla" | None (auto: the fused single-pass Pallas level
+    kernel on TPU backends, XLA shift-add elsewhere). The two paths agree
+    exactly in the interior; the outermost 1-px frame of dx/dy differs in
+    boundary convention (derivative of the edge-replicated image vs
+    edge-replicated derivative) — immaterial, since corners are
+    border-suppressed and KLT windows need full in-bounds support."""
+    if impl is None:
+        impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if impl == "pallas":
+        from coslam_tpu.ops.pyramid_pallas import pyramid_level_pallas
+        level = pyramid_level_pallas
+    else:
+        def level(cur):
+            sm = gaussian_blur(cur)
+            dx, dy = sobel_derivatives(sm)
+            return sm, dx, dy
     imgs, dxs, dys = [], [], []
     cur = img
     for lvl in range(n_levels):
-        sm = gaussian_blur(cur)
-        dx, dy = sobel_derivatives(sm)
+        sm, dx, dy = level(cur)
         imgs.append(sm)
         dxs.append(dx)
         dys.append(dy)

@@ -28,10 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from coslam_tpu.config import SlamConfig
-from coslam_tpu.geometry.camera import (pixel_to_normalized, project_points)
 from coslam_tpu.geometry.epipolar import fundamental_from_poses
-from coslam_tpu.geometry.triangulate import (
-    triangulate_multiview_linear, triangulation_cov)
 from coslam_tpu.slam.state import (SlamState, MapPoints, ST_ALIVE, ST_FALSE,
                                    PT_STATIC, PT_DYNAMIC, PT_UNCERTAIN)
 
@@ -108,7 +105,14 @@ class ClassifyOut(NamedTuple):
 @partial(jax.jit, static_argnames=("cfg",))
 def classify_map_points(state: SlamState, K: jnp.ndarray,
                         cfg: SlamConfig) -> ClassifyOut:
-    """The mapPointsClassify state machine over the whole map."""
+    """The mapPointsClassify state machine over the whole map.
+
+    Lane-major internals: the [P] point axis sits on the 128-lane
+    dimension and every per-view 3x3/2x3 is unrolled as scalars times [P]
+    vectors (a [P, C, 2, 4] row layout wastes ~96% of each vector tile;
+    this form cut the stage ~4x in the fused step)."""
+    from coslam_tpu.geometry.triangulate import (
+        triangulate_multiview_ln, inv3x3_sym_ln)
     tracks, mappts = state.tracks, state.mappts
     C, N = tracks.valid.shape
     P = mappts.xyz.shape[0]
@@ -116,17 +120,42 @@ def classify_map_points(state: SlamState, K: jnp.ndarray,
     alive = mappts.status == ST_ALIVE
     slot, obs_px, obs_ok = point_obs_table(tracks, P)
     nv = jnp.sum(obs_ok, axis=1)                           # [P]
+    # lane-major views of the observation table
+    pxT = obs_px.transpose(1, 2, 0)                        # [C, 2, P]
+    okT = obs_ok.T                                         # [C, P]
+    fx, fy = K[:, 0, 0], K[:, 1, 1]
+    cx, cy = K[:, 0, 2], K[:, 1, 2]
+    xnT = jnp.stack([(pxT[:, 0] - cx[:, None]) / fx[:, None],
+                     (pxT[:, 1] - cy[:, None]) / fy[:, None]], axis=1)
     # current-frame multi-view re-triangulation (isDynamicPoint test)
-    xn = pixel_to_normalized(obs_px, K[None])              # [P, C, 2]
-    Rb = jnp.broadcast_to(state.R[None], (P, C, 3, 3))
-    tb = jnp.broadcast_to(state.t[None], (P, C, 3))
-    X_cur = triangulate_multiview_linear(Rb, tb, xn, obs_ok)
-    pr = project_points(K[None], Rb, tb, X_cur[:, None])
-    err = jnp.linalg.norm(pr - obs_px, axis=-1)            # [P, C]
-    err = jnp.where(obs_ok, err, 0.0)
-    max_err = jnp.max(err, axis=1)
-    z = jnp.einsum("pcj,pj->pc", Rb[:, :, 2, :], X_cur) + tb[..., 2]
-    depth_ok = jnp.all(jnp.where(obs_ok, z > 1e-3, True), axis=1)
+    X_ln, _ = triangulate_multiview_ln(state.R, state.t, xnT, okT)  # [3, P]
+    dt = X_ln.dtype
+    max_err = jnp.zeros((P,), dt)
+    depth_ok = jnp.ones((P,), bool)
+    Hpx = [[jnp.full((P,), 1e-9 if i == j else 0.0, dt) for j in range(3)]
+           for i in range(3)]
+    for c in range(C):
+        R, t = state.R[c], state.t[c]
+        Xc = [R[i, 0] * X_ln[0] + R[i, 1] * X_ln[1] + R[i, 2] * X_ln[2]
+              + t[i] for i in range(3)]
+        z = Xc[2]
+        zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        u = fx[c] * Xc[0] * zi + cx[c]
+        v = fy[c] * Xc[1] * zi + cy[c]
+        e = jnp.hypot(u - pxT[c, 0], v - pxT[c, 1])
+        max_err = jnp.maximum(max_err, jnp.where(okT[c], e, 0.0))
+        depth_ok = depth_ok & jnp.where(okT[c], z > 1e-3, True)
+        # pixel-space projection Jacobian rows (for the dynamic-point cov):
+        # du/dX = fx*(R0 - xn*R2)/z, dv/dX = fy*(R1 - yn*R2)/z
+        xz = Xc[0] * zi
+        yz = Xc[1] * zi
+        Ju = [fx[c] * (R[0, j] - xz * R[2, j]) * zi for j in range(3)]
+        Jv = [fy[c] * (R[1, j] - yz * R[2, j]) * zi for j in range(3)]
+        w = okT[c].astype(dt)
+        for i in range(3):
+            for j in range(i + 1):
+                Hpx[i][j] = Hpx[i][j] + w * (Ju[i] * Ju[j] + Jv[i] * Jv[j])
+    X_cur = X_ln.T                                          # [P, 3]
     tri_ok = (nv >= 2) & depth_ok & (max_err < p.max_err) & \
         jnp.all(jnp.isfinite(X_cur), axis=1)
     # moved test (isLittleMove): displacement vs stored position, gated by
@@ -156,10 +185,10 @@ def classify_map_points(state: SlamState, K: jnp.ndarray,
     ptype = jnp.where(single_dyn & (ptype == PT_STATIC), PT_UNCERTAIN, ptype)
     # dynamic points take the current triangulation every frame
     xyz = jnp.where(is_dynamic[:, None], X_cur, mappts.xyz)
-    cov_dyn = triangulation_cov(
-        jnp.broadcast_to(K[None], (P, C, 3, 3)), Rb, tb, X_cur, obs_ok,
-        pixel_var=p.pixel_err_var)
-    cov = jnp.where(is_dynamic[:, None, None], cov_dyn, mappts.cov)
+    Hinv = inv3x3_sym_ln(Hpx)
+    cov_dyn = jnp.stack([jnp.stack(r) for r in Hinv]) * p.pixel_err_var
+    cov = jnp.where(is_dynamic[:, None, None],
+                    cov_dyn.transpose(2, 0, 1), mappts.cov)
     # persistent inconsistency -> false (the setFalse path)
     bad = jnp.where(is_incons, mappts.bad_votes + 1,
                     jnp.where(is_static_ok | is_dynamic, 0,

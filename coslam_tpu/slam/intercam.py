@@ -122,14 +122,23 @@ def intercam_map_pair(state: SlamState, pyr_cur, K: jnp.ndarray,
     return mp, tracks, jnp.sum(can)
 
 
-@partial(jax.jit, static_argnames=("cfg", "gate_scale"))
+@partial(jax.jit,
+         static_argnames=("cfg", "gate_scale", "min_score", "steal_young"))
 def register_map_points(state: SlamState, pyr_cur, K: jnp.ndarray,
                         cfg: SlamConfig, max_age: int | None = None,
-                        gate_scale: float = 1.0):
+                        gate_scale: float = 1.0,
+                        min_age: int | None = None,
+                        min_score: float | None = None,
+                        steal_young: bool = False):
     """Re-acquire unseen alive points per camera by projection + NCC
     (activeMapPointsRegister, SL_CoSLAM.cpp:1037-1109). Binds unmapped
     features to points whose projection lands within the error gate and
-    whose stored appearance matches."""
+    whose stored appearance matches. ``min_age`` restricts candidates to
+    dormant points (loop-closure re-acquisition); with ``steal_young``,
+    features bound to points younger than ``min_age`` are also eligible —
+    on a revisit, the re-entered structure has usually been re-mapped as
+    fresh duplicates before the closure runs, and the dormant original
+    must win those features back."""
     tracks, mappts = state.tracks, state.mappts
     C, N = tracks.valid.shape
     P = mappts.xyz.shape[0]
@@ -138,6 +147,8 @@ def register_map_points(state: SlamState, pyr_cur, K: jnp.ndarray,
     alive = (mappts.status == ST_ALIVE) & (mappts.ptype == PT_STATIC)
     if max_age is not None:
         alive = alive & (state.frame - mappts.last_obs <= max_age)
+    if min_age is not None:
+        alive = alive & (state.frame - mappts.last_obs >= min_age)
     # registration stays within the camera group (the reference registers
     # per group; cross-group re-acquisition is the merge machinery's job)
     owner_grp = state.group_id[jnp.clip(mappts.owner, 0, C - 1)]
@@ -155,6 +166,11 @@ def register_map_points(state: SlamState, pyr_cur, K: jnp.ndarray,
                                             tracks.raw[c],
                                             p.ncc_patch_radius)
         free_f = tracks.valid[c] & (mpt[c] < 0) & ok_f
+        if steal_young and min_age is not None:
+            mic = jnp.clip(mpt[c], 0)
+            young = (mpt[c] >= 0) & \
+                (mappts.first_frame[mic] > state.frame - min_age)
+            free_f = tracks.valid[c] & ok_f & ((mpt[c] < 0) | young)
         # score matrix [P, N]: NCC of stored blocks vs current features,
         # masked by projection distance
         s = jnp.dot(mappts.ncc[:, c], blocks_f.T,
@@ -163,7 +179,9 @@ def register_map_points(state: SlamState, pyr_cur, K: jnp.ndarray,
         dist = jnp.linalg.norm(pr[:, None, :] - tracks.pos[c][None], axis=-1)
         bad = ~(cand_p[:, None] & free_f[None, :]) | (dist > gate)
         s = jnp.where(bad, NCC_INVALID, s)
-        mres = greedy_mutual_match(s, min_score=p.ncc_min_score, rounds=4)
+        mres = greedy_mutual_match(
+            s, min_score=p.ncc_min_score if min_score is None else min_score,
+            rounds=4)
         got = mres.a_to_b >= 0                       # [P]
         fsl = jnp.clip(mres.a_to_b, 0)
         mpt = mpt.at[c, fsl].set(

@@ -271,7 +271,8 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
 def apply_group_transform(state: SlamState, cfg: SlamConfig,
                           move_cams: np.ndarray, R_s: np.ndarray,
                           t_s: np.ndarray, group_id: np.ndarray,
-                          f_sep: int | None = None) -> SlamState:
+                          f_sep: int | None = None,
+                          anchor_before: int | None = None) -> SlamState:
     """Apply the world-frame correction x -> R_s x + t_s to the moving
     group's state: camera poses T' = T o S^-1, pose histories, keyframe
     poses, and owned map points (recomputeKeyCamPoses /
@@ -292,15 +293,18 @@ def apply_group_transform(state: SlamState, cfg: SlamConfig,
     Rs = jnp.asarray(R_s)
     ts = jnp.asarray(t_s)
     f_merge = int(state.frame)
-    if f_sep is None or f_merge - f_sep < 2:
+    rigid = f_sep is None         # no anchor known: w = 1 for everything
+    if rigid or f_merge - f_sep < 2:
         span = 1
-        f0 = f_merge - 1          # everything gets w = 1 (rigid fallback)
+        f0 = f_merge - 1          # sep was ~now: only current entities move
     else:
         span = f_merge - f_sep
         f0 = f_sep
     xi = se3_log(Rs, ts)          # [6] correction twist
 
     def w_of(frames):
+        if rigid:
+            return jnp.ones(frames.shape, jnp.float32)
         return jnp.clip((frames.astype(jnp.float32) - f0) / span, 0.0, 1.0)
 
     def S_at(w):
@@ -344,6 +348,11 @@ def apply_group_transform(state: SlamState, cfg: SlamConfig,
     mp = state.mappts
     owner_moves = mv[jnp.clip(mp.owner, 0, cfg.num_cameras - 1)] & \
         (mp.status == ST_ALIVE)
+    if anchor_before is not None:
+        # loop closure within one group: the dormant map that anchors the
+        # correction (not observed since ``anchor_before``) must stay put —
+        # only the drifted recent map realigns onto it
+        owner_moves = owner_moves & (mp.last_obs >= anchor_before)
     X_new = jnp.einsum("ij,pj->pi", R_full, mp.xyz) + t_full
     cov_new = jnp.einsum("ij,pjk,lk->pil", R_full, mp.cov, R_full)
     mappts = mp._replace(

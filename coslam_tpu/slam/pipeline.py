@@ -91,6 +91,9 @@ class CoSlamEngine:
         self.merge_log: list[dict] = []
         self._kf_pose_host = None   # (R, t) of the last keyframe, np
         self._pose_host_cache = None
+        self.loop_log: list[dict] = []   # committed loop closures
+        self._last_closure = 0
+        self._last_loop_attempt = -10**9
 
     # ------------------------------------------------------------------
     @property
@@ -357,6 +360,8 @@ class CoSlamEngine:
                     and self.frame - self._last_merge
                     >= p.merge_min_interval):
                 self._try_merge(pyr)
+        if self.frame % GROUPING_INTERVAL == 0:
+            self._try_loop_closure(pyr)
         n_inter = 0
         if C > 1 and (self.frame % p.intercam_map_interval == 0):
             from coslam_tpu.slam.grouping import group_adjacent_pairs
@@ -457,6 +462,8 @@ class CoSlamEngine:
             self.state, pyr, self.K, self.kc, cfg)
         self.state = self.state._replace(mappts=mappts, tracks=tracks)
         t0 = self._tick("new_map_points", t0)
+        if self.frame % GROUPING_INTERVAL == 0:
+            self._try_loop_closure(pyr)
         n_inter = 0
         if C > 1 and (self.frame % p.intercam_map_interval == 0):
             from coslam_tpu.slam.grouping import group_adjacent_pairs
@@ -666,6 +673,44 @@ class CoSlamEngine:
             self.kf_frames.append(self.frame)
             self._kf_pose_host = None
             self._run_ba()
+
+    def _try_loop_closure(self, pyr):
+        """Intra-group loop closure: when a camera's view re-covers its own
+        dormant map (unseen > loop_dormant_age frames), re-acquire those
+        points, PnP the drift-free pose, and distribute the correction over
+        the drift window (slam/loop.py; the merge machinery pointed at the
+        group's own past). The reference has no analogue — its realignment
+        only fires between groups."""
+        cfg = self.cfg
+        p = cfg.p
+        if self.frame - self._last_closure < p.loop_min_interval:
+            return
+        if self.frame - self._last_loop_attempt < GROUPING_INTERVAL:
+            return
+        if self.merge_log and self.frame - self.merge_log[-1]["frame"] <= 12:
+            return   # settle window after a merge
+        from coslam_tpu.slam.loop import find_loop_candidates, close_loop
+        cands = find_loop_candidates(self.state, cfg, np.asarray(self.K))
+        if not cands:
+            return
+        self._last_loop_attempt = self.frame
+        res = close_loop(self.state, cfg, pyr, self.K, self.kc,
+                         self.group_id, cands[0][0])
+        if not res.ok:
+            return
+        # poses were rewritten: drop any in-flight BA, refresh host caches
+        self._cancel_pending_ba()
+        self.state = res.state
+        self._pose_host_cache = None
+        self._kf_pose_host = None
+        self._last_closure = self.frame
+        self.loop_log.append({"frame": self.frame, "cam": res.cam,
+                              "n_inliers": res.n_inliers,
+                              "f_anchor": res.f_anchor})
+        # polish the realigned window with a BA at a fresh keyframe
+        self.state = self.state._replace(kfs=steps.add_keyframe(self.state))
+        self.kf_frames.append(self.frame)
+        self._run_ba()
 
     def _update_grouping(self):
         """Recompute camera groups with SPLIT hysteresis: a proposal that
