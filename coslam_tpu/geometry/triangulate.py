@@ -210,6 +210,43 @@ def triangulate_two_view_midpoint(R1, t1, R2, t2, xn1, xn2):
     return X, s, r, d12
 
 
+def triangulate_two_view_midpoint_ln(R1, t1, R2, t2, x1, y1, x2, y2):
+    """Lane-major midpoint triangulation: 3-vectors as component arrays.
+
+    R1/R2: [..., 3, 3], t1/t2: [..., 3] — leading dims must broadcast
+    against the coordinate arrays' leading dims; x1, y1, x2, y2: [..., N]
+    normalized coordinates with the point axis last (on the 128 lanes).
+    Returns (X: list of 3 [..., N] arrays, s1, s2, parallax_cos), matching
+    ``triangulate_two_view_midpoint`` (unit-ray signed depths) without the
+    [..., 3]-trailing layout that wastes vector tiles when the point axis
+    leads."""
+    def cam_center(R, t):
+        return [-(R[..., 0, i] * t[..., 0] + R[..., 1, i] * t[..., 1]
+                  + R[..., 2, i] * t[..., 2])[..., None] for i in range(3)]
+
+    def ray(R, x, y):
+        d = [R[..., 0, i][..., None] * x + R[..., 1, i][..., None] * y
+             + R[..., 2, i][..., None] for i in range(3)]
+        n = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+        n = jnp.maximum(n, 1e-12)
+        return [di / n for di in d]
+
+    c1 = cam_center(R1, t1)
+    c2 = cam_center(R2, t2)
+    u1 = ray(R1, x1, y1)
+    u2 = ray(R2, x2, y2)
+    b = [c2[i] - c1[i] for i in range(3)]
+    d12 = u1[0] * u2[0] + u1[1] * u2[1] + u1[2] * u2[2]
+    bd1 = b[0] * u1[0] + b[1] * u1[1] + b[2] * u1[2]
+    bd2 = b[0] * u2[0] + b[1] * u2[1] + b[2] * u2[2]
+    den = 1.0 - d12 * d12
+    den = jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+    s = (bd1 - d12 * bd2) / den
+    r = (d12 * bd1 - bd2) / den
+    X = [0.5 * (c1[i] + s * u1[i] + c2[i] + r * u2[i]) for i in range(3)]
+    return X, s, r, d12
+
+
 def reproj_errors(K, R, t, X, px) -> jnp.ndarray:
     """Euclidean reprojection error in pixels (reprojErrorSingle)."""
     from coslam_tpu.geometry.camera import project_points

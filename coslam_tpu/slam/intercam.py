@@ -154,6 +154,9 @@ def register_map_points(state: SlamState, pyr_cur, K: jnp.ndarray,
     owner_grp = state.group_id[jnp.clip(mappts.owner, 0, C - 1)]
     mpt = tracks.mpt
     n_new = jnp.zeros((), jnp.int32)
+    from coslam_tpu.ops.ncc import extract_ncc_blocks_batched
+    blocks_all, ok_all = extract_ncc_blocks_batched(
+        pyr_cur.imgs[0], tracks.raw, p.ncc_patch_radius)
     for c in range(C):
         # points already observed by camera c are excluded
         seen = jnp.zeros((P,), bool).at[
@@ -162,9 +165,7 @@ def register_map_points(state: SlamState, pyr_cur, K: jnp.ndarray,
         cand_p = alive & ~seen & mappts.ncc_valid[:, c] \
             & (owner_grp == state.group_id[c])
         pr = project_points(K[c], state.R[c], state.t[c], mappts.xyz)
-        blocks_f, ok_f = extract_ncc_blocks(pyr_cur.imgs[0][c],
-                                            tracks.raw[c],
-                                            p.ncc_patch_radius)
+        blocks_f, ok_f = blocks_all[c], ok_all[c]
         free_f = tracks.valid[c] & (mpt[c] < 0) & ok_f
         if steal_young and min_age is not None:
             mic = jnp.clip(mpt[c], 0)

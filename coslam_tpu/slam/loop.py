@@ -9,15 +9,20 @@ single-group drift loops:
 
   1. candidate: enough dormant static points project into the current view
      (inside the live-feature hull, like checkViewOverlap's mask test);
-  2. re-acquire: NCC registration restricted to dormant points with a
-     widened projection gate (drift displaces projections);
-  3. solve: PnP RANSAC + IRLS polish on the re-acquired 2D-3D matches
-     gives the drift-free pose;
-  4. verify: inlier count + median reprojection error gates;
+  2. re-acquire: dense NCC template search around each dormant point's
+     projection (ops/ncc.py::ncc_search) — detected-corner matching is
+     unreliable on revisits;
+  3. solve: residual-field consensus (the correction is a small SE(3), so
+     true matches share a coherent residual) + IRLS polish;
+  4. verify: consensus size + median reprojection error gates;
   5. commit: the graded world-frame correction of merge.py
      (apply_group_transform) ramps from identity at the loop anchor frame
      to the full correction now; the dormant anchor map stays put
-     (anchor_before).
+     (anchor_before); re-acquired points re-bind to live features.
+
+Scope note: the correction is SE(3); monocular *scale* drift (the dominant
+error in long pure-rotation stretches) is untouched — a Sim(3) correction
+with depth-ratio scale evidence is the planned extension (ROADMAP).
 """
 
 from __future__ import annotations
@@ -25,12 +30,9 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from coslam_tpu.config import SlamConfig
-from coslam_tpu.geometry import camera as cam
-from coslam_tpu.geometry.pnp import ransac_pnp
 from coslam_tpu.slam.merge import apply_group_transform
 from coslam_tpu.slam.state import SlamState, ST_ALIVE, PT_STATIC
 
@@ -41,6 +43,7 @@ class LoopResult(NamedTuple):
     cam: int
     n_inliers: int
     f_anchor: int
+    scale: float = 1.0
 
 
 def find_loop_candidates(state: SlamState, cfg: SlamConfig,
@@ -81,66 +84,131 @@ def find_loop_candidates(state: SlamState, cfg: SlamConfig,
     return out
 
 
+_LOOP_ANCHOR_CAP = 256      # fixed shape for the jitted search (pad/mask)
+
+
 def close_loop(state: SlamState, cfg: SlamConfig, pyr, K, kc,
-               group_id: np.ndarray, c: int) -> LoopResult:
-    """Attempt a loop closure anchored on camera ``c``'s dormant map."""
-    from coslam_tpu.slam.intercam import register_map_points
+               group_id: np.ndarray, c: int,
+               min_score: float = 0.62,
+               search_radius: int = 16) -> LoopResult:
+    """Attempt a loop closure anchored on camera ``c``'s dormant map.
+
+    Re-acquisition is a dense NCC template search around each dormant
+    point's projection (ops/ncc.py::ncc_search) — matching against
+    *detected* corners is unreliable on revisits (redetection lands a few
+    px off the original corners), while the true patch is still present
+    in the image."""
+    from coslam_tpu.ops.ncc import ncc_search
     p = cfg.p
     fail = LoopResult(False, state, c, 0, 0)
     frame = int(state.frame)
-    # 2. dormant-only re-acquisition: widened projection gate (drift
-    # displaces projections) and a looser NCC floor (appearance was stored
-    # long ago; PnP RANSAC + reprojection gates verify geometrically below)
-    st2, n_reg = register_map_points(state, pyr, K, cfg,
-                                     gate_scale=4.0,
-                                     min_age=p.loop_dormant_age,
-                                     min_score=0.5, steal_young=True)
-    if int(n_reg) < p.loop_min_inliers:
-        return fail
-    mp = st2.mappts
-    tracks = st2.tracks
-    mpt = np.asarray(tracks.mpt[c])
-    valid = np.asarray(tracks.valid[c])
+    mp = state.mappts
+    h, w = cfg.image_height, cfg.image_width
     last_obs = np.asarray(mp.last_obs)
-    status = np.asarray(mp.status)
-    sel = valid & (mpt >= 0)
-    mi = np.clip(mpt, 0, None)
-    sel &= (status[mi] == ST_ALIVE) & \
-        (frame - last_obs[mi] >= p.loop_dormant_age)
-    if sel.sum() < p.loop_min_inliers:
-        return fail
-    X = np.asarray(mp.xyz)[mpt[sel]]
-    px = np.asarray(tracks.pos[c])[sel]
+    dormant = np.asarray((mp.status == ST_ALIVE) & (mp.ptype == PT_STATIC)) \
+        & (frame - last_obs >= p.loop_dormant_age) \
+        & np.asarray(mp.ncc_valid[:, c])
     Kc = np.asarray(K[c])
-    f = float(Kc[0, 0])
-    xn = np.asarray(cam.pixel_to_normalized(jnp.asarray(px), jnp.asarray(Kc)))
-    # 3. PnP on the dormant matches only
-    res = ransac_pnp(jax.random.PRNGKey(frame), jnp.asarray(X, jnp.float32),
-                     jnp.asarray(xn, jnp.float32),
-                     jnp.ones(len(X), bool), num_hypotheses=256,
-                     thresh=3.0 / f)
-    n_inl = int(res.num_inliers)
+    R_old = np.asarray(state.R[c])
+    t_old = np.asarray(state.t[c])
+    xyz = np.asarray(mp.xyz)
+    Xc0 = xyz @ R_old.T + t_old
+    z = np.where(np.abs(Xc0[:, 2]) < 1e-9, 1e-9, Xc0[:, 2])
+    u = Xc0[:, 0] / z * Kc[0, 0] + Kc[0, 2]
+    v = Xc0[:, 1] / z * Kc[1, 1] + Kc[1, 2]
+    margin = p.ncc_patch_radius + search_radius + 1
+    inview = dormant & (Xc0[:, 2] > 1e-3) & (u >= margin) & (v >= margin) \
+        & (u < w - margin) & (v < h - margin)
+    idx = np.nonzero(inview)[0][:_LOOP_ANCHOR_CAP]
+    if len(idx) < p.loop_min_inliers:
+        return fail
+    L = _LOOP_ANCHOR_CAP
+    idxp = np.zeros(L, np.int64)
+    idxp[:len(idx)] = idx
+    mask = np.zeros(L, bool)
+    mask[:len(idx)] = True
+    centers = np.stack([u[idxp], v[idxp]], -1).astype(np.float32)
+    templates = jnp.asarray(np.asarray(mp.ncc[:, c])[idxp])
+    # 2. template search around the projections (drift displaces them)
+    best_px, score = ncc_search(pyr.imgs[0][c], jnp.asarray(centers),
+                                templates, search_radius=search_radius,
+                                patch_radius=p.ncc_patch_radius)
+    good = np.asarray(mask) & (np.asarray(score) >= min_score)
+    if good.sum() < p.loop_min_inliers:
+        return fail
+    # 3. residual-field consensus: the drift correction is a SMALL SE(3),
+    # so correct re-acquisitions share a spatially coherent residual
+    # (match - projection) while mismatches on self-similar texture are
+    # uniform over the search window. Classic PnP RANSAC fails here (at
+    # ~50-70% contamination a 6-point all-inlier DLT sample is rare);
+    # 1-match residual hypotheses + a radius consensus are robust and
+    # O(L^2).
+    bp = np.asarray(best_px)
+    r = bp - centers                                        # [L, 2]
+    dist = np.linalg.norm(r[:, None] - r[None], axis=-1)    # [L, L]
+    votes = (dist < 6.0) & good[None, :] & good[:, None]
+    counts = votes.sum(1)
+    best_h = int(np.argmax(counts))
+    consensus = votes[best_h]
+    n_inl = int(consensus.sum())
     if n_inl < p.loop_min_inliers:
         return fail
-    # IRLS polish on inliers
+    # IRLS polish from the current pose over the consensus set
+    X = jnp.asarray(xyz[idxp], jnp.float32)
     from coslam_tpu.solvers.pose import irls_pose
-    pol = irls_pose(jnp.asarray(Kc), res.R, res.t,
-                    jnp.asarray(X, jnp.float32), jnp.asarray(px, jnp.float32),
-                    res.inliers, tau=p.max_err)
+    pol = irls_pose(jnp.asarray(Kc), jnp.asarray(R_old), jnp.asarray(t_old),
+                    X, best_px, jnp.asarray(consensus), tau=6.0)
     # 4. verification
-    err = np.asarray(pol.err)[np.asarray(res.inliers)]
-    if len(err) < p.loop_min_inliers or float(np.median(err)) > 2.0:
+    err = np.asarray(pol.err)[consensus]
+    if len(err) < p.loop_min_inliers or float(np.median(err)) > 2.5:
         return fail
     R_new = np.asarray(pol.R)
     t_new = np.asarray(pol.t)
-    R_old = np.asarray(state.R[c])
-    t_old = np.asarray(state.t[c])
-    # 5. graded correction over the drift window (T_new = T_old o S^-1)
+    # 5. monocular scale evidence (Sim(3) correction): pair re-acquired
+    # anchor points with the YOUNG map points currently bound at (nearly)
+    # the same pixels — the depth ratio anchor/young under their
+    # respective poses is the accumulated scale drift (depth-ratio method,
+    # like the merge's map-resolved scale)
+    scale = 1.0
+    tracks = state.tracks
+    pos_c = np.asarray(tracks.pos[c])
+    mpt_c = np.asarray(tracks.mpt[c])
+    first_frame = np.asarray(mp.first_frame)
+    young_f = np.asarray(tracks.valid[c]) & (mpt_c >= 0) & \
+        (first_frame[np.clip(mpt_c, 0, None)] > frame - p.loop_dormant_age)
+    if young_f.sum() >= 5 and n_inl >= 5:
+        ypix = pos_c[young_f]
+        yslot = mpt_c[young_f]
+        mpix = np.asarray(best_px)[consensus]
+        d = np.linalg.norm(mpix[:, None] - ypix[None], axis=-1)
+        j = d.argmin(1)
+        okp = d.min(1) < 3.0
+        if okp.sum() >= 5:
+            Xa = xyz[idxp][consensus][okp]
+            Xy = xyz[yslot[j[okp]]]
+            za = (Xa @ R_new.T + t_new)[:, 2]
+            zy = (Xy @ R_old.T + t_old)[:, 2]
+            ratio = za / np.maximum(zy, 1e-6)
+            ratio = ratio[np.isfinite(ratio) & (ratio > 0)]
+            if len(ratio) >= 5:
+                lr = np.log(ratio)
+                mad = float(np.median(np.abs(lr - np.median(lr))))
+                s_est = float(np.exp(np.median(lr)))
+                if mad < 0.25 and 0.5 < s_est < 2.0:
+                    scale = s_est
+    # graded correction over the drift window: pose update
+    # T_new = (R_old R_s^T, s t_old - R_new t_s)
     R_s = (R_new.T @ R_old).astype(np.float32)
-    t_s = (R_new.T @ (t_old - t_new)).astype(np.float32)
-    anchor_frames = last_obs[mpt[sel]][np.asarray(res.inliers)]
+    t_s = (R_new.T @ (scale * t_old - t_new)).astype(np.float32)
+    anchor_frames = last_obs[idxp][consensus]
     f_anchor = int(np.median(anchor_frames))
     move = group_id == group_id[c]
-    st3 = apply_group_transform(st2, cfg, move, R_s, t_s, group_id,
-                                f_sep=f_anchor, anchor_before=f_anchor + 1)
-    return LoopResult(True, st3, c, n_inl, f_anchor)
+    st3 = apply_group_transform(state, cfg, move, R_s, t_s, group_id,
+                                f_sep=f_anchor, anchor_before=f_anchor + 1,
+                                scale=scale)
+    # 6. bind re-acquired points to live features for continued tracking
+    from coslam_tpu.slam.intercam import register_map_points
+    st3, _ = register_map_points(st3, pyr, K, cfg,
+                                 min_age=p.loop_dormant_age,
+                                 min_score=0.5, steal_young=True)
+    return LoopResult(True, st3, c, n_inl, f_anchor, scale)

@@ -120,8 +120,9 @@ def merge_candidates(state: SlamState, cfg: SlamConfig, K: np.ndarray,
 class MergeResult(NamedTuple):
     ok: bool
     state: SlamState
-    scale: float
+    scale: float          # metric bridge-baseline length
     n_matches: int
+    scale_move: float = 1.0   # moving group's estimated map-scale drift
 
 
 def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
@@ -255,24 +256,57 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
     err_v = err_v[Xc_v[:, 2] > 1e-3]
     if len(err_v) < 8 or float(np.median(err_v)) > p.pixel_err_var:
         return MergeResult(False, state, 1.0, int(jnp.sum(good)))
-    # rigid world-frame correction S for the moving group, from camera b:
-    # T_new = T_old o S^-1  =>  R_s = R_new^T R_old, t_s = R_new^T (t_old - t_new)
+    # moving-group scale drift (Sim(3) correction): the bridge features
+    # bound to BOTH groups' maps see the same physical points along the
+    # same rays from camera b — the anchor-depth / moving-depth ratio is
+    # the accumulated scale drift of the separated group (the role of the
+    # reference's uncertainScale pose-graph variables,
+    # SL_GlobalPoseEstimation.cpp:283-335)
     R_new_b = np.asarray(R_sol[b])
     t_new_b = np.asarray(t_sol[b])
+    s_move = 1.0
+    mov = np.nonzero(alive_pt & (grp_owner == group_id[b]))[0]
+    if len(mov) >= 8:
+        xyz_all = np.asarray(mp.xyz)
+        Xcb = xyz_all[mov] @ R[b].T + t[b]          # moving map in cam b
+        okb = Xcb[:, 2] > 1e-3
+        zb = Xcb[okb, 2]
+        ub = Xcb[okb, 0] / zb * K_b[0, 0] + K_b[0, 2]
+        vb = Xcb[okb, 1] / zb * K_b[1, 1] + K_b[1, 2]
+        if okb.sum() >= 8:
+            # anchor point (new pose) vs nearest moving point projecting
+            # onto the same matched pixel in camera b
+            dpx = np.linalg.norm(
+                pos_b[:, None] - np.stack([ub, vb], -1)[None], axis=-1)
+            jn = dpx.argmin(1)
+            okp = (dpx.min(1) < 3.0) & (Xc_v[:, 2] > 1e-3)
+            if okp.sum() >= 8:
+                ratio = Xc_v[okp, 2] / np.maximum(zb[jn[okp]], 1e-6)
+                ratio = ratio[np.isfinite(ratio) & (ratio > 0)]
+                if len(ratio) >= 8:
+                    lr = np.log(ratio)
+                    mad = float(np.median(np.abs(lr - np.median(lr))))
+                    s_est = float(np.exp(np.median(lr)))
+                    if mad < 0.3 and 0.4 < s_est < 2.5:
+                        s_move = s_est
+    # world-frame correction S for the moving group, from camera b:
+    # T_new = (R_old R_s^T, s t_old - R_new t_s)
     R_s = R_new_b.T @ R[b]
-    t_s = R_new_b.T @ (t[b] - t_new_b)
+    t_s = R_new_b.T @ (s_move * t[b] - t_new_b)
     move = group_id == group_id[b]
     state = apply_group_transform(state, cfg, move, R_s.astype(np.float32),
                                   t_s.astype(np.float32), group_id,
-                                  f_sep=f_sep)
-    return MergeResult(True, state, scale, int(jnp.sum(good)))
+                                  f_sep=f_sep, scale=s_move)
+    return MergeResult(True, state, scale, int(jnp.sum(good)),
+                       scale_move=s_move)
 
 
 def apply_group_transform(state: SlamState, cfg: SlamConfig,
                           move_cams: np.ndarray, R_s: np.ndarray,
                           t_s: np.ndarray, group_id: np.ndarray,
                           f_sep: int | None = None,
-                          anchor_before: int | None = None) -> SlamState:
+                          anchor_before: int | None = None,
+                          scale: float = 1.0) -> SlamState:
     """Apply the world-frame correction x -> R_s x + t_s to the moving
     group's state: camera poses T' = T o S^-1, pose histories, keyframe
     poses, and owned map points (recomputeKeyCamPoses /
@@ -301,6 +335,7 @@ def apply_group_transform(state: SlamState, cfg: SlamConfig,
         span = f_merge - f_sep
         f0 = f_sep
     xi = se3_log(Rs, ts)          # [6] correction twist
+    lam = float(np.log(max(scale, 1e-6)))   # log-scale (Sim(3) extension)
 
     def w_of(frames):
         if rigid:
@@ -308,33 +343,37 @@ def apply_group_transform(state: SlamState, cfg: SlamConfig,
         return jnp.clip((frames.astype(jnp.float32) - f0) / span, 0.0, 1.0)
 
     def S_at(w):
-        """Graded correction exp(w * xi): ([..., 3, 3], [..., 3])."""
-        return se3_exp(w[..., None] * xi)
+        """Graded correction (exp(w*xi), s^w): ([...,3,3], [...,3], [...])."""
+        Rw, tw = se3_exp(w[..., None] * xi)
+        return Rw, tw, jnp.exp(w * lam)
 
-    def xf_pose(R, t, Rw, tw):
-        # T' = T o S_w^-1: x' = Rw x + tw  =>  R x + t = R Rw^T x' - R Rw^T tw + t
+    def xf_pose(R, t, Rw, tw, sw):
+        # world correction x' = s Rw x + tw; the camera sees the same
+        # image under T' = (R Rw^T, s t - R Rw^T tw) (camera coords scale
+        # by s, projectively invisible)
         Rn = orthonormalize_fast(R @ jnp.swapaxes(Rw, -1, -2))
-        tn = t - jnp.einsum("...ij,...j->...i", Rn, tw)
+        tn = sw[..., None] * t - jnp.einsum("...ij,...j->...i", Rn, tw)
         return Rn, tn
 
     one = jnp.ones((), jnp.float32)
-    R_full, t_full = S_at(one)
-    R_new, t_new = xf_pose(state.R, state.t, R_full, t_full)
+    R_full, t_full, s_full = S_at(one)
+    R_new, t_new = xf_pose(state.R, state.t, R_full, t_full,
+                           jnp.broadcast_to(s_full, state.t.shape[:-1]))
     R_cur = jnp.where(mv[:, None, None], R_new, state.R)
     t_cur = jnp.where(mv[:, None], t_new, state.t)
     # pose-history ring: slot k holds frame f_merge - ((f_merge - k) % T)
     T = state.pose_hist_R.shape[1]
     k = jnp.arange(T)
     f_hist = f_merge - jnp.mod(f_merge - k, T)
-    Rw_h, tw_h = S_at(w_of(f_hist))                      # [T, 3, 3], [T, 3]
+    Rw_h, tw_h, sw_h = S_at(w_of(f_hist))                # [T, 3, 3], [T, 3]
     phR, pht = xf_pose(state.pose_hist_R, state.pose_hist_t,
-                       Rw_h[None], tw_h[None])
+                       Rw_h[None], tw_h[None], sw_h[None])
     pose_hist_R = jnp.where(mv[:, None, None, None], phR, state.pose_hist_R)
     pose_hist_t = jnp.where(mv[:, None, None], pht, state.pose_hist_t)
     # keyframes: graded by their frame stamps
-    Rw_k, tw_k = S_at(w_of(state.kfs.frame))             # [KF, 3, 3], [KF, 3]
+    Rw_k, tw_k, sw_k = S_at(w_of(state.kfs.frame))       # [KF, 3, 3], [KF, 3]
     kR, kt = xf_pose(state.kfs.R, state.kfs.t,
-                     Rw_k[:, None], tw_k[:, None])
+                     Rw_k[:, None], tw_k[:, None], sw_k[:, None])
     kfs = state.kfs._replace(
         R=jnp.where(mv[None, :, None, None], kR, state.kfs.R),
         t=jnp.where(mv[None, :, None], kt, state.kfs.t))
@@ -353,8 +392,9 @@ def apply_group_transform(state: SlamState, cfg: SlamConfig,
         # correction (not observed since ``anchor_before``) must stay put —
         # only the drifted recent map realigns onto it
         owner_moves = owner_moves & (mp.last_obs >= anchor_before)
-    X_new = jnp.einsum("ij,pj->pi", R_full, mp.xyz) + t_full
-    cov_new = jnp.einsum("ij,pjk,lk->pil", R_full, mp.cov, R_full)
+    X_new = s_full * jnp.einsum("ij,pj->pi", R_full, mp.xyz) + t_full
+    cov_new = (s_full * s_full) * jnp.einsum("ij,pjk,lk->pil", R_full,
+                                             mp.cov, R_full)
     mappts = mp._replace(
         xyz=jnp.where(owner_moves[:, None], X_new, mp.xyz),
         cov=jnp.where(owner_moves[:, None, None], cov_new, mp.cov))

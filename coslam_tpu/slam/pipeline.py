@@ -642,7 +642,8 @@ class CoSlamEngine:
             self.merge_log.append({
                 "frame": self.frame, "cam_a": cands[0].cam_a,
                 "cam_b": cands[0].cam_b, "scale": res.scale,
-                "n_matches": res.n_matches})
+                "n_matches": res.n_matches,
+                "scale_move": res.scale_move})
             # unify the group sets directly (mergeMatchedGroups): the
             # realigned groups ARE one group now; shared observations
             # re-form via registration over the next frames
@@ -706,7 +707,8 @@ class CoSlamEngine:
         self._last_closure = self.frame
         self.loop_log.append({"frame": self.frame, "cam": res.cam,
                               "n_inliers": res.n_inliers,
-                              "f_anchor": res.f_anchor})
+                              "f_anchor": res.f_anchor,
+                              "scale": res.scale})
         # polish the realigned window with a BA at a fresh keyframe
         self.state = self.state._replace(kfs=steps.add_keyframe(self.state))
         self.kf_frames.append(self.frame)

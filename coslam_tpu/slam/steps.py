@@ -272,57 +272,120 @@ def new_map_points(state: SlamState, pyr_cur: Pyramid, K: jnp.ndarray,
     cand = tracks.valid & (tracks.mpt < 0) & \
         (tracks.age >= p.min_feat_track_len) & \
         (tracks.dyn_votes < 3)
-    xn_now = pixel_to_normalized(tracks.pos, K[:, None])          # [C,N,2]
+    # lane-major throughout: the feature axis N stays last (128 lanes);
+    # 3-vectors/3x3s are unrolled component arrays ([C, T, N, 3]-trailing
+    # layouts waste ~96% of each vector tile)
+    from coslam_tpu.geometry.triangulate import (
+        triangulate_two_view_midpoint_ln, inv3x3_sym_ln)
+    fx = K[:, 0, 0][:, None, None]
+    fy = K[:, 1, 1][:, None, None]
+    cx = K[:, 0, 2][:, None, None]
+    cy = K[:, 1, 2][:, None, None]
+    x_now = (tracks.pos[..., 0][:, None] - cx) / fx                # [C,1,N]
+    y_now = (tracks.pos[..., 1][:, None] - cy) / fy
     # all history entries as second views: [C, T, N]
     ages = jnp.minimum(tracks.age - 1, T - 1)
     k_off = jnp.arange(T)                                          # offset back
     past_frame = frame - k_off                                     # [T]
     ring = jnp.mod(past_frame, T)                                  # [T]
     hist_pos = jnp.take(tracks.hist, ring, axis=1)                 # [C,T,N,2]
+    hx = hist_pos[..., 0]
+    hy = hist_pos[..., 1]
     hist_ok = jnp.take(tracks.hist_valid, ring, axis=1) & \
         (k_off[None, :, None] >= 1) & (k_off[None, :, None] <= ages[:, None]) \
         & (past_frame[None, :, None] >= 0)
     Rp = jnp.take(state.pose_hist_R, ring, axis=1)                 # [C,T,3,3]
     tp = jnp.take(state.pose_hist_t, ring, axis=1)                 # [C,T,3]
-    xn_past = pixel_to_normalized(hist_pos, K[:, None, None])
-    Xc, s_now, s_past, pcos = triangulate_two_view_midpoint(
-        state.R[:, None, None], state.t[:, None, None],
-        Rp[:, :, None], tp[:, :, None],
-        xn_now[:, None], xn_past)                                  # [C,T,N,*]
-    # reprojection gates in both views
-    pr_now = project_points(K[:, None, None], state.R[:, None, None],
-                            state.t[:, None, None], Xc)
-    pr_past = project_points(K[:, None, None], Rp[:, :, None],
-                             tp[:, :, None], Xc)
-    e_now = jnp.linalg.norm(pr_now - tracks.pos[:, None], axis=-1)
-    e_past = jnp.linalg.norm(pr_past - hist_pos, axis=-1)
+    x_past = (hx - cx) / fx                                        # [C,T,N]
+    y_past = (hy - cy) / fy
+    Xl, s_now, s_past, pcos = triangulate_two_view_midpoint_ln(
+        state.R[:, None], state.t[:, None], Rp, tp,
+        x_now, y_now, x_past, y_past)          # 3 x [C,T,N], [C,T,N]
+
+    def reproj_err2(R, t, px_x, px_y):
+        """R: [...,3,3]/t: [...,3] broadcastable; px on lanes."""
+        Xc = [R[..., i, 0][..., None] * Xl[0]
+              + R[..., i, 1][..., None] * Xl[1]
+              + R[..., i, 2][..., None] * Xl[2]
+              + t[..., i][..., None] for i in range(3)]
+        z = Xc[2]
+        zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        du = fx * Xc[0] * zi + cx - px_x
+        dv = fy * Xc[1] * zi + cy - px_y
+        return du * du + dv * dv
+
+    e2_now = reproj_err2(state.R[:, None], state.t[:, None],
+                         tracks.pos[..., 0][:, None],
+                         tracks.pos[..., 1][:, None])
+    e2_past = reproj_err2(Rp, tp, hx, hy)
     max_cos = jnp.cos(jnp.deg2rad(p.new_point_min_parallax_deg))
+    gate2 = p.reproj_new_point_gate ** 2
     good = hist_ok & (s_now > 1e-3) & (s_past > 1e-3) & \
-        (jnp.abs(pcos) < max_cos) & \
-        (e_now < p.reproj_new_point_gate) & (e_past < p.reproj_new_point_gate)
+        (jnp.abs(pcos) < max_cos) & (e2_now < gate2) & (e2_past < gate2)
     # widest parallax (smallest |cos|) among good views
     score = jnp.where(good, -jnp.abs(pcos), -jnp.inf)
     best_k = jnp.argmax(score, axis=1)                             # [C,N]
     any_good = jnp.any(good, axis=1)
-    take = lambda A: jnp.take_along_axis(
-        A, best_k[:, None, :].reshape(C, 1, N, *(1,) * (A.ndim - 3)), axis=1
-    )[:, 0]
-    X_new = take(Xc)                                               # [C,N,3]
+    takeT = lambda A: jnp.take_along_axis(A, best_k[:, None, :], axis=1)[:, 0]
+    Xb = [takeT(Xl[i]) for i in range(3)]                          # 3 x [C,N]
+    X_new = jnp.stack(Xb, axis=-1)                                 # [C,N,3]
     alloc = cand & any_good
-    # covariance from the two views (Rp/tp carry no N axis: index directly)
-    ci = jnp.arange(C)[:, None]
-    Rb = Rp[ci, best_k]                                            # [C,N,3,3]
-    tb = tp[ci, best_k]                                            # [C,N,3]
-    Ks2 = jnp.broadcast_to(K[:, None, None], (C, N, 2, 3, 3))
-    Rs2 = jnp.stack([jnp.broadcast_to(state.R[:, None], (C, N, 3, 3)), Rb], 2)
-    ts2 = jnp.stack([jnp.broadcast_to(state.t[:, None], (C, N, 3)), tb], 2)
-    covs = triangulation_cov(Ks2, Rs2, ts2, X_new,
-                             jnp.ones((C, N, 2), bool),
-                             pixel_var=p.pixel_err_var)
-    # NCC appearance at the current frame
-    blocks, blk_ok = jax.vmap(
-        lambda img, pos: extract_ncc_blocks(img, pos, p.ncc_patch_radius))(
-        pyr_cur.imgs[0], tracks.raw)
+    # covariance from the two chosen views: pixel-space J^T J accumulated
+    # componentwise, cov = pixel_var * H^-1
+    dt = X_new.dtype
+    Hpx = [[jnp.full((C, N), 1e-9 if i == j else 0.0, dt)
+            for j in range(3)] for i in range(3)]
+    Rb9 = [[takeT(jnp.broadcast_to(Rp[:, :, i, j][:, :, None], (C, T, N)))
+            for j in range(3)] for i in range(3)]                  # [C,N] each
+    tb3 = [takeT(jnp.broadcast_to(tp[:, :, i][:, :, None], (C, T, N)))
+           for i in range(3)]
+    fx2, fy2 = fx[:, 0], fy[:, 0]                                  # [C,1]
+    for view in range(2):
+        if view == 0:
+            Rv = [[jnp.broadcast_to(state.R[:, i, j][:, None], (C, N))
+                   for j in range(3)] for i in range(3)]
+            tv = [jnp.broadcast_to(state.t[:, i][:, None], (C, N))
+                  for i in range(3)]
+        else:
+            Rv, tv = Rb9, tb3
+        Xc = [Rv[i][0] * Xb[0] + Rv[i][1] * Xb[1] + Rv[i][2] * Xb[2] + tv[i]
+              for i in range(3)]
+        z = Xc[2]
+        zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        xz = Xc[0] * zi
+        yz = Xc[1] * zi
+        Ju = [fx2 * (Rv[0][j] - xz * Rv[2][j]) * zi for j in range(3)]
+        Jv = [fy2 * (Rv[1][j] - yz * Rv[2][j]) * zi for j in range(3)]
+        for i in range(3):
+            for j in range(i + 1):
+                Hpx[i][j] = Hpx[i][j] + Ju[i] * Ju[j] + Jv[i] * Jv[j]
+    Hinv = inv3x3_sym_ln(Hpx)
+    covs = jnp.stack([jnp.stack(r) for r in Hinv]).transpose(2, 3, 0, 1) \
+        * p.pixel_err_var                                          # [C,N,3,3]
+    # NCC appearance at the current frame (whole camera batch, Pallas
+    # window kernel on TPU)
+    from coslam_tpu.ops.ncc import extract_ncc_blocks_batched
+    blocks, blk_ok = extract_ncc_blocks_batched(pyr_cur.imgs[0], tracks.raw,
+                                                p.ncc_patch_radius)
+    # refresh stored appearance of points observed this frame, but only
+    # while the new view still resembles the stored one (NCC >= 0.8) —
+    # an unconditional refresh drifts the template toward oblique/blurred
+    # last-glimpse views, which is exactly the wrong appearance to match
+    # on a later frontal revisit (template update with drift correction)
+    cam_of3 = jnp.broadcast_to(jnp.arange(C)[:, None], (C, N))
+    mi_b = jnp.clip(tracks.mpt, 0)
+    old_blk = mappts.ncc[mi_b, cam_of3]                     # [C, N, B]
+    old_ok = mappts.ncc_valid[mi_b, cam_of3]
+    sim = jnp.einsum("cnb,cnb->cn", old_blk, blocks)
+    mapped_b = tracks.valid & (tracks.mpt >= 0) & blk_ok
+    refresh = mapped_b & ((sim >= 0.8) | ~old_ok)
+    cam_of = jnp.arange(C * N) // N
+    obs_slot = jnp.where(refresh, tracks.mpt, P).reshape(-1)
+    mappts = mappts._replace(
+        ncc=mappts.ncc.at[obs_slot, cam_of].set(
+            blocks.reshape(C * N, -1), mode="drop"),
+        ncc_valid=mappts.ncc_valid.at[obs_slot, cam_of].set(
+            True, mode="drop"))
     # ---- allocate map slots (free-list via argsort) ----
     flat_alloc = alloc.reshape(-1)
     flat_X = X_new.reshape(-1, 3)
