@@ -775,10 +775,17 @@ class CoSlamEngine:
                 self.rel[c].append((Rr, tr))
             self.traj[c].append((R[c].copy(), t[c].copy()))
 
-    def trajectory(self, c: int = 0, correct: bool = True):
+    def trajectory(self, c: int = 0, correct: bool = True,
+                   chain_scales: bool = False):
         """Return ([F,3,3], [F,3]) for camera c. With correct=True, non-key
         poses are re-aligned to the final (BA-corrected) keyframe poses via
-        the chain pose graph (updateNonKeyCameraPoses equivalent)."""
+        the chain pose graph (updateNonKeyCameraPoses equivalent). With
+        chain_scales, each inter-keyframe segment additionally carries one
+        unknown translation scale (the uncertainScale mechanism,
+        SL_GlobalPoseEstimation.cpp:283-335): when a merge or loop closure
+        rescaled the keyframe anchors, the raw relative translations of the
+        drift window are still at the old scale — the per-segment scale
+        lets the chain stretch to its anchors instead of distorting."""
         Rs = np.stack([p[0] for p in self.traj[c]])
         ts = np.stack([p[1] for p in self.traj[c]])
         if not correct or not self.kf_frames:
@@ -806,8 +813,23 @@ class CoSlamEngine:
         pg = chain_graph(jnp.asarray(R_rel), jnp.asarray(t_rel),
                          jnp.asarray(fixed), jnp.asarray(fixed_R),
                          jnp.asarray(fixed_t), jnp.ones(F, dtype=bool))
+        num_scales = 1
+        if chain_scales:
+            anchors = np.nonzero(fixed)[0]
+            if len(anchors) >= 2:
+                # edge k (k -> k+1) belongs to the segment between the
+                # surrounding anchors; edges outside [first, last) anchor
+                # stay rigid (their scale would be unobservable)
+                seg = np.searchsorted(anchors, np.arange(F - 1),
+                                      side="right") - 1
+                sg = np.where(
+                    (np.arange(F - 1) >= anchors[0])
+                    & (np.arange(F - 1) < anchors[-1]),
+                    seg, -1).astype(np.int32)
+                num_scales = max(1, int(len(anchors) - 1))
+                pg = pg._replace(scale_group=jnp.asarray(sg))
         R_sol = solve_rotations(pg)
-        t_sol, _ = solve_translations(pg, R_sol)
+        t_sol, _ = solve_translations(pg, R_sol, num_scales=num_scales)
         return np.asarray(R_sol), np.asarray(t_sol)
 
     # ------------------------------------------------------------------

@@ -187,15 +187,49 @@ def pose_update(state: SlamState, K: jnp.ndarray, kc: jnp.ndarray,
     R_new = jnp.where(ok_cam[:, None, None], R_new, state.R)
     t_new = jnp.where(ok_cam[:, None], t_new, state.t)
 
-    # Mahalanobis gating of ALL mapped static features under the new pose
+    # Mahalanobis gating of ALL mapped static features under the new pose.
+    # Lane-major: features on the 128-lane axis, 2x3/3x3 blocks unrolled as
+    # scalars x [C, N] vectors (the [C, N, 2, 3] layouts waste the tiles).
     mapped = tracks.valid & (tracks.mpt >= 0) & \
         (mappts.status[mi] == ST_ALIVE)
     is_static = mappts.ptype[mi] == PT_STATIC
-    pred = project_points(K[:, None], R_new[:, None], t_new[:, None], X)
-    resid = tracks.pos - pred
-    Scov = projection_cov(K[:, None], R_new[:, None], t_new[:, None], X,
-                          mappts.cov[mi], pixel_var=p.pixel_err_var)
-    maha2 = mahalanobis2_2d(resid, Scov)
+    fxc = K[:, 0, 0][:, None]
+    fyc = K[:, 1, 1][:, None]
+    cxc = K[:, 0, 2][:, None]
+    cyc = K[:, 1, 2][:, None]
+    Xg = [X[..., i] for i in range(3)]                       # 3 x [C, N]
+    cov_g = [[mappts.cov[..., i, j][mi] for j in range(3)]
+             for i in range(3)]                              # 3x3 x [C, N]
+
+    def proj_jac(Rm, tm):
+        """Projection + pixel Jacobian rows at Xg under (Rm [C,3,3], tm)."""
+        Xc = [Rm[:, i, 0][:, None] * Xg[0] + Rm[:, i, 1][:, None] * Xg[1]
+              + Rm[:, i, 2][:, None] * Xg[2] + tm[:, i][:, None]
+              for i in range(3)]
+        z = Xc[2]
+        zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        u = fxc * Xc[0] * zi + cxc
+        v = fyc * Xc[1] * zi + cyc
+        xz = Xc[0] * zi
+        yz = Xc[1] * zi
+        Ju = [fxc * (Rm[:, 0, j][:, None] - xz * Rm[:, 2, j][:, None]) * zi
+              for j in range(3)]
+        Jv = [fyc * (Rm[:, 1, j][:, None] - yz * Rm[:, 2, j][:, None]) * zi
+              for j in range(3)]
+        return u, v, z, Ju, Jv
+
+    u, v, zdep, Ju, Jv = proj_jac(R_new, t_new)
+    rx = tracks.pos[..., 0] - u                              # innovation
+    ry = tracks.pos[..., 1] - v
+    # S = J cov J^T + pixel_var I (2x2, as three [C, N] entries)
+    cJu = [sum(cov_g[i][j] * Ju[j] for j in range(3)) for i in range(3)]
+    cJv = [sum(cov_g[i][j] * Jv[j] for j in range(3)) for i in range(3)]
+    s00 = sum(Ju[i] * cJu[i] for i in range(3)) + p.pixel_err_var
+    s01 = sum(Ju[i] * cJv[i] for i in range(3))
+    s11 = sum(Jv[i] * cJv[i] for i in range(3)) + p.pixel_err_var
+    det = s00 * s11 - s01 * s01
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    maha2 = (s11 * rx * rx - 2.0 * s01 * rx * ry + s00 * ry * ry) / det
     out_gate = (p.maha_outlier * (2.0 if large_err else 1.0)) ** 2
     in_gate = p.maha_inlier ** 2
     outlier = mapped & is_static & (maha2 > out_gate)
@@ -205,8 +239,11 @@ def pose_update(state: SlamState, K: jnp.ndarray, kc: jnp.ndarray,
     tracks = tracks._replace(mpt=jnp.where(outlier, -1, tracks.mpt))
 
     # sequential refinement of inlier static points (seqTriangulate role):
-    # fold each camera's current observation into (xyz, cov) in turn
+    # fold each camera's current observation into (xyz, cov) in turn —
+    # the per-camera loop preserves the information-filter ordering; the
+    # Kalman algebra is the same lane-major component arithmetic
     xyz, cov = mappts.xyz, mappts.cov
+    err = jnp.hypot(rx, ry)
     for c in range(C):
         w_in = inlier[c]
         Xp = xyz[mi[c]]
@@ -237,10 +274,8 @@ def pose_update(state: SlamState, K: jnp.ndarray, kc: jnp.ndarray,
                              owner=owner)
 
     # stats
-    depth = jnp.einsum("cj,cnj->cn", R_new[:, 2, :], X) + t_new[:, 2:3]
-    med_depth = jnp.nanmedian(jnp.where(mapped & is_static, depth, jnp.nan),
-                           axis=1)
-    err = jnp.linalg.norm(resid, axis=-1)
+    med_depth = jnp.nanmedian(jnp.where(mapped & is_static, zdep, jnp.nan),
+                              axis=1)
     med_err = jnp.nanmedian(jnp.where(inlier, err, jnp.nan), axis=1)
     h, w = img_hw
     fx = jnp.where(inlier, tracks.pos[..., 0], jnp.nan)

@@ -125,9 +125,12 @@ def solve_translations(pg: PoseGraph, R: jnp.ndarray,
     Ht = Ht.at[jnp.arange(N), :, jnp.arange(N), :].add(
         diag_w[:, None, None] * I3[None])
     H = H.at[: 3 * N, : 3 * N].set(Ht.reshape(3 * N, 3 * N))
-    # scale-scale and scale-translation coupling
+    # scale-scale and scale-translation coupling; the weak prior pulls
+    # unobservable scales toward 1 (a 0-centered ridge would collapse a
+    # scale group whose segment lacks a second anchor)
+    s_prior = jnp.asarray(1e-4, dt)
     Hss = jax.ops.segment_sum(w * jnp.sum(Js * Js, -1), g_idx, num_segments=G)
-    H = H.at[3 * N:, 3 * N:].add(jnp.diag(Hss + 1e-6))
+    H = H.at[3 * N:, 3 * N:].add(jnp.diag(Hss + s_prior))
     Hts_i = w[:, None] * jnp.einsum("eji,ej->ei", Jti, Js)   # Jti^T Js [E,3]
     Hts_j = w[:, None] * Js                                  # I^T Js
     Hts = jnp.zeros((N, 3, G), dtype=dt)
@@ -143,7 +146,7 @@ def solve_translations(pg: PoseGraph, R: jnp.ndarray,
     bt = bt + (pg.fixed.astype(dt) * _FIX_W)[:, None] * pg.fixed_t
     b = b.at[: 3 * N].set(bt.reshape(-1))
     bs = jax.ops.segment_sum(-w * jnp.sum(Js * c, -1), g_idx, num_segments=G)
-    b = b.at[3 * N:].add(bs)
+    b = b.at[3 * N:].add(bs + s_prior)
     sol = jnp.linalg.solve(H, b)
     return sol[: 3 * N].reshape(N, 3), sol[3 * N:]
 
