@@ -80,7 +80,7 @@ def main():
     # frames/s metric must always be printed.
     ba_iters_s = None
     elapsed = time.perf_counter() - _T_START
-    from coslam_tpu.solvers.ba import BAProblem, bundle_adjust
+    from coslam_tpu.solvers.ba import BATableProblem, bundle_adjust_table
     from coslam_tpu.geometry.se3 import so3_exp
     M, Ppts = 15, 2048
     Xw = rng.uniform(-4, 4, (Ppts, 3)).astype(np.float32)
@@ -88,31 +88,35 @@ def main():
     Rb = np.stack([np.asarray(so3_exp(jnp.asarray(
         0.05 * rng.standard_normal(3).astype(np.float32)))) for _ in range(M)])
     tb = np.stack([np.array([0.2 * m, 0, 0], np.float32) for m in range(M)])
-    oc = rng.integers(0, M, 3 * Ppts).astype(np.int32)
-    op = np.tile(np.arange(Ppts), 3).astype(np.int32)
-    Xc = np.einsum("oij,oj->oi", Rb[oc], Xw[op]) + tb[oc]
-    px = (Xc[:, :2] / Xc[:, 2:3] * 500 + [W / 2, H / 2]).astype(np.float32)
+    # dense [S, P] window table, ~3 observations per point (the engine's
+    # build_ba_table form; the solver is the scatter-free lane-major path)
+    valid = rng.random((M, Ppts)) < (3.0 / M)
+    px = np.zeros((M, 2, Ppts), np.float32)
+    for s in range(M):
+        Xc = Xw @ Rb[s].T + tb[s]
+        px[s, 0] = Xc[:, 0] / Xc[:, 2] * 500 + W / 2
+        px[s, 1] = Xc[:, 1] / Xc[:, 2] * 500 + H / 2
     px += 0.3 * rng.standard_normal(px.shape).astype(np.float32)
     cam_fixed = np.zeros(M, bool)
     cam_fixed[:2] = True
-    prob = BAProblem(
+    prob = BATableProblem(
         K=jnp.broadcast_to(K[0][None], (M, 3, 3)),
         R=jnp.asarray(Rb), t=jnp.asarray(tb),
         X=jnp.asarray(Xw + 0.05),
-        obs_cam=jnp.asarray(oc), obs_pt=jnp.asarray(op),
-        obs_px=jnp.asarray(px), obs_valid=jnp.ones(len(oc), bool),
+        obs_px=jnp.asarray(px), obs_valid=jnp.asarray(valid),
         cam_fixed=jnp.asarray(cam_fixed),
         point_fixed=jnp.zeros(Ppts, bool))
     if elapsed < 420.0:
         inner = 30
-        res = bundle_adjust(prob, max_err=10.0, max_iter=2, inner_iter=inner)
+        res = bundle_adjust_table(prob, max_err=10.0, max_iter=2,
+                                  inner_iter=inner)
         _ = np.asarray(res.cost)
         reps = 10
         t0 = time.perf_counter()
         c = prob
         for _ in range(reps):
-            res = bundle_adjust(c._replace(X=res.X), max_err=10.0,
-                                max_iter=2, inner_iter=inner)
+            res = bundle_adjust_table(c._replace(X=res.X), max_err=10.0,
+                                      max_iter=2, inner_iter=inner)
         _ = np.asarray(res.cost)
         ba_iters_s = reps * 2 * inner / (time.perf_counter() - t0)
 

@@ -130,7 +130,9 @@ def classify_map_points(state: SlamState, K: jnp.ndarray,
     # current-frame multi-view re-triangulation (isDynamicPoint test)
     X_ln, _ = triangulate_multiview_ln(state.R, state.t, xnT, okT)  # [3, P]
     dt = X_ln.dtype
+    Xs_ln = mappts.xyz.T                                    # stored, [3, P]
     max_err = jnp.zeros((P,), dt)
+    max_err_stored = jnp.zeros((P,), dt)
     depth_ok = jnp.ones((P,), bool)
     Hpx = [[jnp.full((P,), 1e-9 if i == j else 0.0, dt) for j in range(3)]
            for i in range(3)]
@@ -145,6 +147,19 @@ def classify_map_points(state: SlamState, K: jnp.ndarray,
         e = jnp.hypot(u - pxT[c, 0], v - pxT[c, 1])
         max_err = jnp.maximum(max_err, jnp.where(okT[c], e, 0.0))
         depth_ok = depth_ok & jnp.where(okT[c], z > 1e-3, True)
+        # reprojection of the STORED position against the current
+        # observations (the isStaticPoint consistency test,
+        # SL_CoSLAMHelper.cpp:253-315): a moving point's stored position
+        # goes stale in pixels within a few frames — scale-free evidence
+        Xcs = [R[i, 0] * Xs_ln[0] + R[i, 1] * Xs_ln[1] + R[i, 2] * Xs_ln[2]
+               + t[i] for i in range(3)]
+        zs = Xcs[2]
+        zsi = 1.0 / jnp.where(jnp.abs(zs) < 1e-9, 1e-9, zs)
+        us = fx[c] * Xcs[0] * zsi + cx[c]
+        vs = fy[c] * Xcs[1] * zsi + cy[c]
+        es = jnp.hypot(us - pxT[c, 0], vs - pxT[c, 1])
+        max_err_stored = jnp.maximum(max_err_stored,
+                                     jnp.where(okT[c], es, 0.0))
         # pixel-space projection Jacobian rows (for the dynamic-point cov):
         # du/dX = fx*(R0 - xn*R2)/z, dv/dX = fy*(R1 - yn*R2)/z
         xz = Xc[0] * zi
@@ -158,12 +173,18 @@ def classify_map_points(state: SlamState, K: jnp.ndarray,
     X_cur = X_ln.T                                          # [P, 3]
     tri_ok = (nv >= 2) & depth_ok & (max_err < p.max_err) & \
         jnp.all(jnp.isfinite(X_cur), axis=1)
-    # moved test (isLittleMove): displacement vs stored position, gated by
-    # the stored covariance scale
-    disp = jnp.linalg.norm(X_cur - mappts.xyz, axis=1)
-    cov_scale = jnp.sqrt(jnp.clip(
-        jnp.trace(mappts.cov, axis1=1, axis2=2), 1e-6, None))
-    moved = disp > jnp.maximum(4.0 * cov_scale, 0.05 * p.bootstrap_depth)
+    # moved test: the current observations re-triangulate consistently
+    # (tri_ok) but the stored position no longer explains them — the
+    # point moved. Pixel-space, so it is scale-free and trips within a
+    # few frames of real motion (the old 4-sigma 3D-displacement gate
+    # needed metres of drift before firing on far objects).
+    moved_now = max_err_stored > p.max_epi_err
+    # debounce: a single-frame pose glitch also makes stored reprojections
+    # jump; require two consecutive moved frames before flipping dynamic
+    mv = jnp.where(alive & tri_ok,
+                   jnp.where(moved_now, mappts.moved_votes + 1, 0),
+                   mappts.moved_votes)
+    moved = mv >= 2
     # feature-level dynamic votes: any bound feature voted dynamic
     feat_dyn = jnp.zeros((P,), bool)
     mapped = tracks.valid & (tracks.mpt >= 0)
@@ -183,11 +204,14 @@ def classify_map_points(state: SlamState, K: jnp.ndarray,
     # consistently-static uncertain points are re-promoted
     ptype = jnp.where(is_static_ok & (ptype == PT_UNCERTAIN), PT_STATIC, ptype)
     ptype = jnp.where(single_dyn & (ptype == PT_STATIC), PT_UNCERTAIN, ptype)
-    # dynamic points take the current triangulation every frame
-    xyz = jnp.where(is_dynamic[:, None], X_cur, mappts.xyz)
+    # dynamic points take the current triangulation EVERY consistent frame
+    # (updateDynamicPointPosition): not just at the moved-detection frame —
+    # a tracked moving object must have its position follow the object
+    upd_pos = alive & tri_ok & (is_dynamic | (ptype == PT_DYNAMIC))
+    xyz = jnp.where(upd_pos[:, None], X_cur, mappts.xyz)
     Hinv = inv3x3_sym_ln(Hpx)
     cov_dyn = jnp.stack([jnp.stack(r) for r in Hinv]) * p.pixel_err_var
-    cov = jnp.where(is_dynamic[:, None, None],
+    cov = jnp.where(upd_pos[:, None, None],
                     cov_dyn.transpose(2, 0, 1), mappts.cov)
     # persistent inconsistency -> false (the setFalse path)
     bad = jnp.where(is_incons, mappts.bad_votes + 1,
@@ -195,7 +219,7 @@ def classify_map_points(state: SlamState, K: jnp.ndarray,
                               mappts.bad_votes))
     status = jnp.where(alive & (bad >= 3), ST_FALSE, mappts.status)
     mappts = mappts._replace(xyz=xyz, cov=cov, ptype=ptype, status=status,
-                             bad_votes=bad)
+                             bad_votes=bad, moved_votes=mv)
     n_static = jnp.sum((mappts.status == ST_ALIVE) & (ptype == PT_STATIC))
     n_dynamic = jnp.sum((mappts.status == ST_ALIVE) & (ptype == PT_DYNAMIC))
     n_false = jnp.sum(status == ST_FALSE)

@@ -40,13 +40,14 @@ from coslam_tpu.slam.steps import choose_grid_features
 def _alloc_slots(mappts: MapPoints, want: jnp.ndarray):
     """Allocate map slots for ``want`` [M] flags. Returns slot ids [M]
     (= P where dropped) and the updated free-rank bookkeeping inputs."""
+    from coslam_tpu.slam.steps import _rank_to_index
     P = mappts.xyz.shape[0]
     free = mappts.status == ST_FREE
-    order = jnp.argsort(~free)
+    idx_of_rank = _rank_to_index(free)
     rank = jnp.cumsum(want) - 1
-    n_free = jnp.sum(free)
-    can = want & (rank < n_free)
-    slot = jnp.where(can, order[jnp.clip(rank, 0, P - 1)], P)
+    slot = idx_of_rank[jnp.clip(rank, 0, P - 1)]
+    can = want & (slot < P)
+    slot = jnp.where(can, slot, P)
     return slot, can
 
 
@@ -108,6 +109,7 @@ def intercam_map_pair(state: SlamState, pyr_cur, K: jnp.ndarray,
         first_frame=mp.first_frame.at[slot].set(state.frame, mode="drop"),
         last_obs=mp.last_obs.at[slot].set(state.frame, mode="drop"),
         bad_votes=mp.bad_votes.at[slot].set(0, mode="drop"),
+        moved_votes=mp.moved_votes.at[slot].set(0, mode="drop"),
         owner=mp.owner.at[slot].set(cam_a, mode="drop"),
         ncc=mp.ncc.at[slot, cam_a].set(blocks_a, mode="drop")
              .at[slot, cam_b].set(blocks_b[bsl], mode="drop"),

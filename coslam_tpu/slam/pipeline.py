@@ -26,7 +26,7 @@ from coslam_tpu.ops import build_pyramid, detect_corners
 from coslam_tpu.slam import steps
 from coslam_tpu.slam.state import (
     SlamState, init_state, history_len, ST_ALIVE, ST_FREE, PT_STATIC)
-from coslam_tpu.solvers.ba import bundle_adjust
+from coslam_tpu.solvers.ba import bundle_adjust_table
 from coslam_tpu.solvers.pose_graph import chain_graph, solve_rotations, \
     solve_translations
 
@@ -546,23 +546,25 @@ class CoSlamEngine:
         cfg = self.cfg
         if self._pending_ba is not None:     # never two BAs in flight
             self._apply_pending_ba()
-        prob, ring, kf_ok = steps.build_ba_problem(self.state, self.K, cfg)
+        # dense-table fast path (scatter-free, lane-major; ~17x the list
+        # solver's LM iterations/s at the production window shape)
+        prob, ring, kf_ok = steps.build_ba_table(self.state, self.K, cfg)
         if self.async_ba:
             solve_prob = prob
             if self.ba_device is not None:
                 solve_prob = jax.device_put(prob, self.ba_device)
-            res = bundle_adjust(solve_prob, max_err=cfg.p.max_err,
-                                max_iter=cfg.p.ba_max_iter,
-                                inner_iter=cfg.p.ba_inner_iter)
+            res = bundle_adjust_table(solve_prob, max_err=cfg.p.max_err,
+                                      max_iter=cfg.p.ba_max_iter,
+                                      inner_iter=cfg.p.ba_inner_iter)
             self._pending_ba = {
-                "prob": prob, "res": res, "ring": ring, "kf_ok": kf_ok,
+                "res": res, "ring": ring, "kf_ok": kf_ok,
                 "gen0": self.state.mappts.gen, "frame": self.frame}
             return
-        res = bundle_adjust(prob, max_err=cfg.p.max_err,
-                            max_iter=cfg.p.ba_max_iter,
-                            inner_iter=cfg.p.ba_inner_iter)
-        self.state = steps.apply_ba_results(self.state, prob, res, ring,
-                                            kf_ok, cfg)
+        res = bundle_adjust_table(prob, max_err=cfg.p.max_err,
+                                  max_iter=cfg.p.ba_max_iter,
+                                  inner_iter=cfg.p.ba_inner_iter)
+        self.state = steps.apply_ba_table_results(self.state, res, ring,
+                                                  kf_ok, cfg)
         self._pose_host_cache = None
         self._kf_pose_host = None
 
@@ -576,8 +578,8 @@ class CoSlamEngine:
         if self.ba_device is not None:
             dev0 = self.state.frame.devices().pop()
             res = jax.device_put(res, dev0)
-        self.state = steps.apply_ba_results(
-            self.state, pb["prob"], res, pb["ring"], pb["kf_ok"],
+        self.state = steps.apply_ba_table_results(
+            self.state, res, pb["ring"], pb["kf_ok"],
             self.cfg, gen0=pb["gen0"])
         self._pose_host_cache = None
         self._kf_pose_host = None

@@ -58,6 +58,10 @@ class MapPoints(NamedTuple):
     first_frame: jnp.ndarray  # [P] i32
     last_obs: jnp.ndarray    # [P] i32 last frame with any observation
     bad_votes: jnp.ndarray   # [P] i32 consecutive classification failures
+    moved_votes: jnp.ndarray  # [P] i32 consecutive moved-detection frames
+                              #  (debounce before a static point flips
+                              #   dynamic; a 1-frame pose glitch can fake
+                              #   stored-reprojection drift)
     owner: jnp.ndarray       # [P] i32 camera id of most recent observation
                              #  (owner group = group_id[owner]; merge uses it
                              #   to know which points move with which group)
@@ -120,6 +124,7 @@ def init_state(cfg: SlamConfig) -> SlamState:
         first_frame=jnp.zeros((P,), i32),
         last_obs=jnp.zeros((P,), i32),
         bad_votes=jnp.zeros((P,), i32),
+        moved_votes=jnp.zeros((P,), i32),
         owner=jnp.zeros((P,), i32),
         ncc=jnp.zeros((P, C, B), f32),
         ncc_valid=jnp.zeros((P, C), bool))

@@ -14,12 +14,15 @@ the reference's per-frame loop (CoSLAMThread.cpp:95-129; SURVEY.md §3.3):
                          mature unmapped tracks with the parallax-widest
                          second view (SL_SingleSLAM.cpp:922-1050)
   add_keyframe        <- CoSLAM::addKeyFrame / addKeyPose
-  build_ba_problem /
-  apply_ba_results    <- RobustBundleRTS window collection + write-back
-                         (SL_CoSLAMRobustBA.cpp:37-180,273-316)
+  build_ba_table /
+  apply_ba_table_results <- RobustBundleRTS window collection + write-back
+                         (SL_CoSLAMRobustBA.cpp:37-180,273-316); the
+                         engine's fast path (dense [S, P] table solver).
+                         build_ba_problem/apply_ba_results keep the
+                         observation-list form (distributed sharding)
 
 All dynamic structure (variable feature counts, allocation) is expressed
-with masks and argsort-compaction so shapes stay static (no recompiles).
+with masks and cumsum-rank compaction so shapes stay static (no recompiles).
 """
 
 from __future__ import annotations
@@ -49,6 +52,17 @@ from coslam_tpu.slam.state import (
 # tracking + redetect
 # ---------------------------------------------------------------------------
 
+def _rank_to_index(mask: jnp.ndarray) -> jnp.ndarray:
+    """out[r] = index of the r-th True entry of ``mask`` (len(mask) where
+    r >= count). The scatter form of "argsort(~mask) then take": one
+    cumsum + one scatter instead of a full sort."""
+    n = mask.shape[0]
+    rank = jnp.cumsum(mask) - 1
+    return jnp.full((n,), n, jnp.int32).at[
+        jnp.where(mask, rank, n)].set(jnp.arange(n, dtype=jnp.int32),
+                                      mode="drop")
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def advance_tracks(pyr_prev: Pyramid, pyr_cur: Pyramid, tracks: TrackTable,
                    K: jnp.ndarray, kc: jnp.ndarray, frame: jnp.ndarray,
@@ -65,14 +79,13 @@ def advance_tracks(pyr_prev: Pyramid, pyr_cur: Pyramid, tracks: TrackTable,
                          cfg.klt, N, exclude_pos=raw, exclude_valid=survived)
 
     def refill(raw_c, surv_c, det_pos_c, det_ok_c):
-        free_order = jnp.argsort(surv_c)          # free slots first (stable)
-        n_free = jnp.sum(~surv_c)
-        k = jnp.arange(N)
-        use = det_ok_c & (k < n_free)
-        slot = free_order[k]
-        raw_c = raw_c.at[slot].set(
-            jnp.where(use[:, None], det_pos_c, raw_c[slot]))
-        newly = jnp.zeros((N,), bool).at[slot].set(use)
+        # k-th detection fills the k-th free slot: rank free slots with a
+        # cumsum + scatter (an argsort costs ~10x more on TPU)
+        slot = _rank_to_index(~surv_c)            # [N], N where rank>=free
+        use = det_ok_c & (slot < N)
+        tgt = jnp.where(use, slot, N)
+        raw_c = raw_c.at[tgt].set(det_pos_c, mode="drop")
+        newly = jnp.zeros((N,), bool).at[tgt].set(use, mode="drop")
         return raw_c, newly
 
     raw, newly = jax.vmap(refill)(raw, survived, det.pos, det.valid)
@@ -421,16 +434,15 @@ def new_map_points(state: SlamState, pyr_cur: Pyramid, K: jnp.ndarray,
             blocks.reshape(C * N, -1), mode="drop"),
         ncc_valid=mappts.ncc_valid.at[obs_slot, cam_of].set(
             True, mode="drop"))
-    # ---- allocate map slots (free-list via argsort) ----
+    # ---- allocate map slots (free-list via cumsum-rank scatter) ----
     flat_alloc = alloc.reshape(-1)
     flat_X = X_new.reshape(-1, 3)
     flat_cov = covs.reshape(-1, 3, 3)
     free = mappts.status == ST_FREE
-    free_order = jnp.argsort(~free)                 # free slots first
+    idx_of_rank = _rank_to_index(free)              # [P], P where no slot
     want_rank = jnp.cumsum(flat_alloc) - 1          # rank among allocators
-    n_free = jnp.sum(free)
-    can = flat_alloc & (want_rank < n_free)
-    slot = free_order[jnp.clip(want_rank, 0, P - 1)]
+    slot = idx_of_rank[jnp.clip(want_rank, 0, P - 1)]
+    can = flat_alloc & (slot < P)
     slot = jnp.where(can, slot, P)                  # P = drop
     xyz = mappts.xyz.at[slot].set(flat_X, mode="drop")
     cov = mappts.cov.at[slot].set(flat_cov, mode="drop")
@@ -440,6 +452,7 @@ def new_map_points(state: SlamState, pyr_cur: Pyramid, K: jnp.ndarray,
     first_frame = mappts.first_frame.at[slot].set(frame, mode="drop")
     last_obs = mappts.last_obs.at[slot].set(frame, mode="drop")
     bad_votes = mappts.bad_votes.at[slot].set(0, mode="drop")
+    moved_votes = mappts.moved_votes.at[slot].set(0, mode="drop")
     # per-camera NCC write: slot s belongs to camera c = flat_idx // N
     cam_of = jnp.arange(C * N) // N
     owner = mappts.owner.at[slot].set(cam_of.astype(jnp.int32), mode="drop")
@@ -451,7 +464,8 @@ def new_map_points(state: SlamState, pyr_cur: Pyramid, K: jnp.ndarray,
     tracks = tracks._replace(mpt=mpt)
     mappts = MapPoints(xyz=xyz, cov=cov, gen=gen, status=status, ptype=ptype,
                        first_frame=first_frame, last_obs=last_obs,
-                       bad_votes=bad_votes, owner=owner, ncc=ncc,
+                       bad_votes=bad_votes, moved_votes=moved_votes,
+                       owner=owner, ncc=ncc,
                        ncc_valid=ncc_valid)
     return mappts, tracks, jnp.sum(can)
 
@@ -530,6 +544,102 @@ def build_ba_problem(state: SlamState, K: jnp.ndarray,
         obs_px=obs_pos.reshape(O, 2), obs_valid=obs_valid,
         cam_fixed=cam_fixed, point_fixed=point_fixed)
     return prob, ring, kf_ok
+
+
+def build_ba_table(state: SlamState, K: jnp.ndarray, cfg: SlamConfig):
+    """Dense [S, P] window table for ``bundle_adjust_table`` (the
+    scatter-free fast path; S = ba_window x cameras). Same collection
+    semantics as build_ba_problem: recycled-slot rejection via
+    generations, >=2-obs requirement, pre-window anchors, 2-keyframe
+    gauge. Returns (BATableProblem, ring [W], kf_ok [W])."""
+    from coslam_tpu.solvers.ba import BATableProblem
+    kfs, mappts = state.kfs, state.mappts
+    KF, C, N = kfs.obs_mpt.shape
+    P = mappts.xyz.shape[0]
+    W = cfg.cap.ba_window
+    S = W * C
+    start = jnp.maximum(kfs.n - W, 0)
+    kf_ord = start + jnp.arange(W)
+    kf_ok = kf_ord < kfs.n
+    ring = jnp.mod(kf_ord, KF)
+    Rw = kfs.R[ring].reshape(S, 3, 3)
+    tw = kfs.t[ring].reshape(S, 3)
+    obs_pos = kfs.obs_pos[ring]                     # [W, C, N, 2]
+    obs_mpt = kfs.obs_mpt[ring]
+    obs_gen = kfs.obs_gen[ring]
+    mi = jnp.clip(obs_mpt, 0)
+    pt_ok = (mappts.status[mi] == ST_ALIVE) & \
+        (mappts.ptype[mi] == PT_STATIC) & (mappts.gen[mi] == obs_gen)
+    ok = (obs_mpt >= 0) & pt_ok & kf_ok[:, None, None]
+    slot_of = jnp.broadcast_to(
+        (jnp.arange(W)[:, None, None] * C + jnp.arange(C)[None, :, None]),
+        (W, C, N)).reshape(-1)
+    tgt = jnp.where(ok, obs_mpt, P).reshape(-1)     # P = drop
+    tbl_ok = jnp.zeros((S, P), bool).at[slot_of, tgt].set(True, mode="drop")
+    tbl_u = jnp.zeros((S, P), obs_pos.dtype).at[slot_of, tgt].set(
+        obs_pos[..., 0].reshape(-1), mode="drop")
+    tbl_v = jnp.zeros((S, P), obs_pos.dtype).at[slot_of, tgt].set(
+        obs_pos[..., 1].reshape(-1), mode="drop")
+    cnt = jnp.sum(tbl_ok, axis=0)
+    oldest_frame = kfs.frame[ring[jnp.argmax(kf_ok)]]
+    point_fixed = (cnt < 2) | (mappts.first_frame < oldest_frame)
+    valid = tbl_ok & (cnt >= 2)[None]
+    n_valid = jnp.sum(kf_ok)
+    first_valid = W - n_valid
+    kf_fixed = jnp.arange(W) < (first_valid + 2)
+    cam_fixed = jnp.broadcast_to(kf_fixed[:, None], (W, C)).reshape(S)
+    prob = BATableProblem(
+        K=jnp.broadcast_to(K[None], (W, C, 3, 3)).reshape(S, 3, 3),
+        R=Rw, t=tw, X=mappts.xyz,
+        obs_px=jnp.stack([tbl_u, tbl_v], axis=1),
+        obs_valid=valid, cam_fixed=cam_fixed, point_fixed=point_fixed)
+    return prob, ring, kf_ok
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def apply_ba_table_results(state: SlamState, res, ring: jnp.ndarray,
+                           kf_ok: jnp.ndarray, cfg: SlamConfig,
+                           gen0: jnp.ndarray | None = None) -> SlamState:
+    """apply_ba_results for the table solver's BATableResult (the
+    per-point outlier counts come from the [S, P] flag table)."""
+    n_bad = jnp.sum(res.obs_outlier, axis=0)
+    return _apply_ba_core(state, res.R, res.t, res.X, n_bad, ring, kf_ok,
+                          cfg, gen0)
+
+
+def _apply_ba_core(state: SlamState, R_res, t_res, X_res, n_bad, ring,
+                   kf_ok, cfg: SlamConfig, gen0):
+    kfs, mappts = state.kfs, state.mappts
+    C = kfs.R.shape[1]
+    W = ring.shape[0]
+    R_new = R_res.reshape(W, C, 3, 3)
+    t_new = t_res.reshape(W, C, 3)
+    okw = kf_ok[:, None, None, None]
+    kfs = kfs._replace(
+        R=kfs.R.at[ring].set(jnp.where(okw, R_new, kfs.R[ring])),
+        t=kfs.t.at[ring].set(jnp.where(okw[..., 0], t_new, kfs.t[ring])))
+    P = mappts.xyz.shape[0]
+    same = (mappts.gen == gen0) if gen0 is not None else jnp.ones((P,), bool)
+    xyz = jnp.where(same[:, None], X_res, mappts.xyz)
+    status = jnp.where((n_bad > 0) & same & (mappts.status == ST_ALIVE),
+                       ST_FALSE, mappts.status)
+    mappts = mappts._replace(xyz=xyz, status=status)
+    newest = ring[W - 1]
+    R_old = state.kfs.R[newest]
+    t_old = state.kfs.t[newest]
+    R_upd = kfs.R[newest]
+    t_upd = kfs.t[newest]
+    from coslam_tpu.geometry.se3 import orthonormalize_fast
+    D_R = orthonormalize_fast(jnp.einsum("cji,cjk->cik", R_old, R_upd))
+    D_t = jnp.einsum("cji,cj->ci", R_old, t_upd - t_old)
+    R_cur = orthonormalize_fast(jnp.einsum("cij,cjk->cik", state.R, D_R))
+    t_cur = jnp.einsum("cij,cj->ci", state.R, D_t) + state.t
+    ph_R = orthonormalize_fast(
+        jnp.einsum("ctij,cjk->ctik", state.pose_hist_R, D_R))
+    ph_t = jnp.einsum("ctij,cj->cti", state.pose_hist_R, D_t) \
+        + state.pose_hist_t
+    return state._replace(R=R_cur, t=t_cur, kfs=kfs, mappts=mappts,
+                          pose_hist_R=ph_R, pose_hist_t=ph_t)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

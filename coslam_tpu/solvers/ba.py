@@ -190,6 +190,228 @@ def _schur_solve(Hcc, Wcp, Hpp, gc, gp, lam, cam_fixed, point_fixed):
     return dc, dX
 
 
+# ---------------------------------------------------------------------------
+# dense-table formulation (windowed BA fast path)
+# ---------------------------------------------------------------------------
+
+class BATableProblem(NamedTuple):
+    """Windowed BA with the observation structure the window actually has:
+    each point is observed at most once per (keyframe, camera) slot, so
+    observations form a dense [P, S] table (S = window x cameras; slot s
+    IS camera s of the packed window). This removes every segment-sum
+    scatter of the list formulation: camera blocks reduce over the point
+    lane axis, point blocks accumulate over the (static) slot loop, and
+    the Schur product is one [6S, 3P] x [3P, 6S] matmul on the MXU
+    (measured ~5x more LM iterations/s at 15 slots x 2048 points)."""
+
+    K: jnp.ndarray           # [S, 3, 3]
+    R: jnp.ndarray           # [S, 3, 3] initial
+    t: jnp.ndarray           # [S, 3]
+    X: jnp.ndarray           # [P, 3] initial
+    obs_px: jnp.ndarray      # [S, 2, P] undistorted pixels (lane-major)
+    obs_valid: jnp.ndarray   # [S, P]
+    cam_fixed: jnp.ndarray   # [S]
+    point_fixed: jnp.ndarray  # [P]
+
+
+class BATableResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    X: jnp.ndarray
+    obs_outlier: jnp.ndarray   # [S, P]
+    obs_err: jnp.ndarray       # [S, P]
+    cost: jnp.ndarray
+
+
+def _table_jacobians(K, R, t, Xl, obs_px):
+    """Batched over the slot axis (no Python loop -> compact HLO).
+    Xl: 3 x [P]. Returns (ru, rv, z [S,P], Ju6/Jv6 lists of 6 [S,P],
+    Jup/Jvp lists of 3 [S,P])."""
+    Xc = [R[:, i, 0, None] * Xl[0][None] + R[:, i, 1, None] * Xl[1][None]
+          + R[:, i, 2, None] * Xl[2][None] + t[:, i, None]
+          for i in range(3)]                                 # 3 x [S, P]
+    z = Xc[2]
+    zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    fx = K[:, 0, 0][:, None]
+    fy = K[:, 1, 1][:, None]
+    cx = K[:, 0, 2][:, None]
+    cy = K[:, 1, 2][:, None]
+    ru = fx * Xc[0] * zi + cx - obs_px[:, 0]
+    rv = fy * Xc[1] * zi + cy - obs_px[:, 1]
+    xz = Xc[0] * zi
+    yz = Xc[1] * zi
+    zero = jnp.zeros_like(z)
+    # camera Jacobian rows (left-increment (w, v)), as in solvers/pose
+    Ju6 = [-fx * xz * yz, fx * (1.0 + xz * xz), -fx * yz,
+           fx * zi, zero, -fx * xz * zi]
+    Jv6 = [-fy * (1.0 + yz * yz), fy * xz * yz, fy * xz,
+           zero, fy * zi, -fy * yz * zi]
+    # point Jacobian rows: d(px)/dX = Jpx @ R
+    Jup = [fx * (R[:, 0, j, None] - xz * R[:, 2, j, None]) * zi
+           for j in range(3)]
+    Jvp = [fy * (R[:, 1, j, None] - yz * R[:, 2, j, None]) * zi
+           for j in range(3)]
+    return ru, rv, z, Ju6, Jv6, Jup, Jvp
+
+
+def _table_terms(K, R, t, Xl, prob: BATableProblem, w, axis_name=None):
+    """Lane-major normal-equation blocks, slot-batched. Xl: 3 x [P];
+    w: [S, P]. Returns (Hcc [S,6,6], gc [S,6], Wcp nested [6][3] of [S,P],
+    Hpp nested 3x3 lower of [P], gp 3 x [P], ru/rv [S,P], cost)."""
+    P = Xl[0].shape[0]
+    dt = Xl[0].dtype
+    ru, rv, z, Ju6, Jv6, Jup, Jvp = _table_jacobians(K, R, t, Xl,
+                                                     prob.obs_px)
+    ws = jnp.where(z <= 1e-6, 0.0, w)
+    Hcc = jnp.stack([jnp.stack(
+        [jnp.sum(ws * (Ju6[i] * Ju6[j] + Jv6[i] * Jv6[j]), axis=1)
+         for j in range(6)], -1) for i in range(6)], -2)     # [S, 6, 6]
+    gc = jnp.stack([jnp.sum(ws * (Ju6[i] * ru + Jv6[i] * rv), axis=1)
+                    for i in range(6)], -1)                  # [S, 6]
+    Wcp = [[ws * (Ju6[i] * Jup[k] + Jv6[i] * Jvp[k]) for k in range(3)]
+           for i in range(6)]                                # 6x3 x [S, P]
+    Hpp = [[jnp.sum(ws * (Jup[i] * Jup[j] + Jvp[i] * Jvp[j]), axis=0)
+            + (1e-9 if i == j else 0.0)
+            for j in range(i + 1)] for i in range(3)]        # lower, [P]
+    gp = [jnp.sum(ws * (Jup[i] * ru + Jvp[i] * rv), axis=0)
+          for i in range(3)]                                 # 3 x [P]
+    cost = jnp.sum(ws * (ru * ru + rv * rv))
+    if axis_name is not None:
+        Hcc, gc, cost = jax.lax.psum((Hcc, gc, cost), axis_name)
+    return Hcc, gc, Wcp, Hpp, gp, ru, rv, cost
+
+
+def _table_schur(Hcc, gc, Wcp, Hpp, gp, lam, cam_fixed, point_fixed, dt):
+    """Damped GN step: eliminate points (closed-form 3x3, lane-major),
+    solve the reduced [6S, 6S] camera system, back-substitute."""
+    from coslam_tpu.geometry.triangulate import inv3x3_sym_ln
+    S = Hcc.shape[0]
+    P = gp[0].shape[0]
+    pf = point_fixed
+    # freeze fixed points: identity point blocks, zero coupling/rhs
+    Hpp_d = [[jnp.where(pf, 1.0 if i == j else 0.0,
+                        Hpp[i][j] * (1.0 + lam * (1.0 if i == j else 0.0))
+                        + (lam * 1e-3 if i == j else 0.0))
+              for j in range(i + 1)] for i in range(3)]
+    # rebuild full lower structure for the inverse helper
+    Hfull = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(i + 1):
+            Hfull[i][j] = Hpp_d[i][j]
+            Hfull[j][i] = Hpp_d[i][j]
+    Hinv = inv3x3_sym_ln(Hfull)
+    gp_m = [jnp.where(pf, 0.0, gp[k]) for k in range(3)]
+    Wm = [[jnp.where(pf[None], 0.0, Wcp[i][k]) for k in range(3)]
+          for i in range(6)]                                # 6x3 x [S, P]
+    # Y[i][k] = sum_l W[i][l] Hinv[l][k]
+    Y = [[sum(Wm[i][l] * Hinv[l][k][None] for l in range(3))
+          for k in range(3)] for i in range(6)]             # 6x3 x [S, P]
+    # Schur product: one [6S, 3P] x [3P, 6S] matmul on the MXU
+    Ymat = jnp.stack([jnp.stack(Y[i]) for i in range(6)])   # [6, 3, S, P]
+    Ymat = Ymat.transpose(2, 0, 1, 3).reshape(S * 6, 3 * P)
+    Wmat = jnp.stack([jnp.stack(Wm[i]) for i in range(6)])
+    Wmat = Wmat.transpose(2, 0, 1, 3).reshape(S * 6, 3 * P)
+    Sred = -(Ymat @ Wmat.T)                                 # [6S, 6S]
+    # damped camera blocks on the diagonal
+    Hcc_d = Hcc + lam * (jnp.eye(6, dtype=dt)[None] * 1e-3
+                         + Hcc * jnp.eye(6, dtype=dt)[None])
+    Sred = Sred.reshape(S, 6, S, 6)
+    Sred = Sred.at[jnp.arange(S), :, jnp.arange(S), :].add(Hcc_d)
+    gpv = jnp.stack(gp_m).reshape(3 * P)
+    rhs = gc - (Ymat @ gpv).reshape(S, 6)
+    free = (~cam_fixed).astype(dt)
+    Sred = Sred * free[:, None, None, None] * free[None, None, :, None]
+    Sred = Sred.at[jnp.arange(S), :, jnp.arange(S), :].add(
+        jnp.eye(6, dtype=dt)[None] * cam_fixed[:, None, None].astype(dt))
+    rhs = rhs * free[:, None]
+    dc = -jnp.linalg.solve(Sred.reshape(S * 6, S * 6),
+                           rhs.reshape(-1)).reshape(S, 6)
+    # back-substitute: dX = -Hinv (gp + W^T dc)
+    Wt_dc = [sum(jnp.sum(Wm[i][k] * dc[:, i, None], axis=0)
+                 for i in range(6)) for k in range(3)]
+    dXl = [-sum(Hinv[k][l] * (gp_m[l] + Wt_dc[l]) for l in range(3))
+           for k in range(3)]
+    return dc, dXl
+
+
+@partial(jax.jit, static_argnames=("max_iter", "inner_iter", "axis_name"))
+def bundle_adjust_table(prob: BATableProblem, max_err: float = 10.0,
+                        max_iter: int = 2, inner_iter: int = 10,
+                        axis_name: str | None = None) -> BATableResult:
+    """Robust windowed BA over the dense [P, S] observation table. Same
+    robust protocol as ``bundle_adjust`` (Huber outer passes, Tukey last,
+    outlier out-flags), scatter-free and lane-major inside."""
+    dt = prob.X.dtype
+    base_w = prob.obs_valid.astype(dt)                     # [S, P]
+
+    def residuals(R, t, Xl):
+        Xc = [R[:, i, 0, None] * Xl[0][None]
+              + R[:, i, 1, None] * Xl[1][None]
+              + R[:, i, 2, None] * Xl[2][None] + t[:, i, None]
+              for i in range(3)]
+        z = Xc[2]
+        zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        ru = prob.K[:, 0, 0][:, None] * Xc[0] * zi \
+            + prob.K[:, 0, 2][:, None] - prob.obs_px[:, 0]
+        rv = prob.K[:, 1, 1][:, None] * Xc[1] * zi \
+            + prob.K[:, 1, 2][:, None] - prob.obs_px[:, 1]
+        return ru, rv, z
+
+    def inner(carry, _):
+        R, t, Xl, lam, w = carry
+        Hcc, gc, Wcp, Hpp, gp, ru, rv, cost = _table_terms(
+            prob.K, R, t, Xl, prob, w, axis_name)
+        dc, dXl = _table_schur(Hcc, gc, Wcp, Hpp, gp, lam,
+                               prob.cam_fixed, prob.point_fixed, dt)
+        finite = jnp.all(jnp.isfinite(dc)) & \
+            jnp.all(jnp.isfinite(jnp.stack(dXl)))
+        dc = jnp.where(finite, dc, 0.0)
+        dc = jnp.where(prob.cam_fixed[:, None], 0.0, dc)
+        dXm = [jnp.where(prob.point_fixed | ~finite, 0.0, d) for d in dXl]
+        dRs, dts = se3_exp(dc)
+        R_new = dRs @ R
+        t_new = jnp.einsum("mij,mj->mi", dRs, t) + dts
+        X_new = [Xl[k] + dXm[k] for k in range(3)]
+        ru2, rv2, z2 = residuals(R_new, t_new, X_new)
+        w2 = jnp.where(z2 <= 1e-6, 0.0, w)
+        cost_new = jnp.sum(w2 * (ru2 * ru2 + rv2 * rv2))
+        if axis_name is not None:
+            cost_new = jax.lax.psum(cost_new, axis_name)
+        ok = (cost_new < cost) & finite
+        R = jnp.where(ok, R_new, R)
+        t = jnp.where(ok, t_new, t)
+        Xl = [jnp.where(ok, X_new[k], Xl[k]) for k in range(3)]
+        lam = jnp.clip(jnp.where(ok, lam * 0.3, lam * 8.0), 1e-8, 1e8)
+        return (R, t, Xl, lam, w), None
+
+    def outer(carry, k):
+        R, t, Xl, w = carry
+        ru, rv, z = residuals(R, t, Xl)
+        en = jnp.hypot(ru, rv)
+        w_rob = jnp.where(k < max_iter - 1, huber_weight(en, max_err),
+                          tukey_weight(en, max_err))
+        w = base_w * w_rob * (z > 1e-6)
+        lam0 = jnp.asarray(1e-4, dt)
+        (R, t, Xl, _, _), _ = jax.lax.scan(inner, (R, t, Xl, lam0, w), None,
+                                           length=inner_iter)
+        return (R, t, Xl, w), None
+
+    Xl0 = [prob.X[:, k] for k in range(3)]
+    (R, t, Xl, w), _ = jax.lax.scan(
+        outer, (prob.R, prob.t, Xl0, base_w), jnp.arange(max_iter))
+    from coslam_tpu.geometry.se3 import orthonormalize_fast
+    R = orthonormalize_fast(R)
+    ru, rv, z = residuals(R, t, Xl)
+    err = jnp.hypot(ru, rv)
+    outlier = prob.obs_valid & ((err > max_err) | (z <= 1e-6))
+    w_fin = base_w * tukey_weight(err, max_err) * (z > 1e-6)
+    cost = jnp.sum(w_fin * (ru * ru + rv * rv))
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
+    return BATableResult(R=R, t=t, X=jnp.stack(Xl, axis=-1),
+                         obs_outlier=outlier, obs_err=err, cost=cost)
+
+
 @partial(jax.jit, static_argnames=("max_iter", "inner_iter", "axis_name"))
 def bundle_adjust(prob: BAProblem, max_err: float = 10.0,
                   max_iter: int = 2, inner_iter: int = 10,

@@ -93,12 +93,58 @@ def test_three_cam_ate(three_cam_dynamic):
 
 
 def test_three_cam_dynamic_points_follow_object(three_cam_dynamic):
-    eng, _, _, quad = three_cam_dynamic
+    """The moving quad's points must be classified dynamic and their
+    positions must FOLLOW the object. Asserted in a similarity-invariant
+    way (the monocular-style bootstrap anchors scale at a nominal depth,
+    so raw engine coordinates differ from the metric world by a Sim(3)):
+      - >= 2 alive dynamic points whose bound features lie inside the
+        gt-projected quad region in >= 2 cameras;
+      - those points' fitted velocities point along +x (the quad's motion
+        direction; the engine frame's orientation matches gt's up to the
+        small bootstrap rotation) and dominate the y component.
+    """
+    from coslam_tpu.slam.state import ST_ALIVE, PT_DYNAMIC
+    eng, Rs_gt, ts_gt, quad = three_cam_dynamic
     assert len(eng.dyn_log) > 10     # dynamic snapshots recorded
-    f_last, ids, xyz = eng.dyn_log[-1]
+    st = eng.state
+    tr = st.tracks
+    mp = st.mappts
+    f_last = int(st.frame)
     qc = np.asarray(quad.center0) + f_last * np.asarray(quad.velocity)
-    d = np.linalg.norm(xyz - qc, axis=1).min()
-    assert d < 2.0                    # a dynamic point sits on the quad
+    hits = {}
+    for c in range(3):
+        Rg, tg = Rs_gt[c, f_last], ts_gt[c, f_last]
+        Xc = Rg @ qc + tg
+        u = Xc[0] / Xc[2] * K1[0, 0] + K1[0, 2]
+        v = Xc[1] / Xc[2] * K1[1, 1] + K1[1, 2]
+        half = 1.1 / Xc[2] * K1[0, 0]
+        pos = np.asarray(tr.pos[c])
+        sel = np.asarray(tr.valid[c]) & (np.asarray(tr.mpt[c]) >= 0) \
+            & (np.abs(pos[:, 0] - u) < half) & (np.abs(pos[:, 1] - v) < half)
+        for s in np.asarray(tr.mpt[c])[sel]:
+            hits[int(s)] = hits.get(int(s), 0) + 1
+    quad_slots = [s for s, n in hits.items() if n >= 2
+                  and int(np.asarray(mp.status)[s]) == ST_ALIVE]
+    dyn_slots = [s for s in quad_slots
+                 if int(np.asarray(mp.ptype)[s]) == PT_DYNAMIC]
+    assert len(dyn_slots) >= 2, (quad_slots, dyn_slots)
+    # velocity fit over the dynamic snapshots
+    by_id = {}
+    for (f, ids, xyz) in eng.dyn_log:
+        for i, p_ in zip(ids, xyz):
+            by_id.setdefault(int(i), []).append((f, p_))
+    good_vel = 0
+    for s in dyn_slots:
+        traj = by_id.get(s, [])
+        if len(traj) < 8:
+            continue
+        fs = np.array([a for a, _ in traj], float)
+        ps = np.stack([b for _, b in traj])
+        A = np.stack([fs, np.ones_like(fs)], -1)
+        vel = np.linalg.lstsq(A, ps, rcond=None)[0][0]
+        if vel[0] > 0 and abs(vel[1]) < max(vel[0], 1e-6):
+            good_vel += 1
+    assert good_vel >= 1, {s: len(by_id.get(s, [])) for s in dyn_slots}
 
 
 def test_three_cam_statics_dominate(three_cam_dynamic):
