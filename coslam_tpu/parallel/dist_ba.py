@@ -21,7 +21,9 @@ import jax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from coslam_tpu.solvers.ba import BAProblem, BAResult, bundle_adjust
+from coslam_tpu.solvers.ba import (BAProblem, BAResult, bundle_adjust,
+                                   BATableProblem, BATableResult,
+                                   bundle_adjust_table)
 
 
 def dist_bundle_adjust(prob: BAProblem, mesh: Mesh, max_err: float = 10.0,
@@ -44,6 +46,37 @@ def dist_bundle_adjust(prob: BAProblem, mesh: Mesh, max_err: float = 10.0,
 
     fn = shard_map(
         partial(bundle_adjust, max_err=max_err, max_iter=max_iter,
+                inner_iter=inner_iter, axis_name="cam"),
+        mesh=mesh, in_specs=(in_specs,), out_specs=out_specs,
+        check_rep=False)
+    return fn(prob)
+
+
+def dist_bundle_adjust_table(prob: BATableProblem, mesh: Mesh,
+                             max_err: float = 10.0, max_iter: int = 2,
+                             inner_iter: int = 10) -> BATableResult:
+    """Distributed dense-table BA: the POINT axis shards over mesh axis
+    'cam'; each device eliminates its landmark blocks locally, the reduced
+    [6S, 6S] camera system and rhs are psum-reduced over ICI, the dense
+    solve replicates, back-substitution stays local. This is the fast-path
+    equivalent of ``dist_bundle_adjust`` (which shards the observation
+    list); the table form is what the engine's windowed BA uses.
+
+    Requires P divisible by the mesh size (pad with obs_valid=False and
+    point_fixed=True).
+    """
+    shard_p = P("cam")
+    rep = P()
+    in_specs = BATableProblem(
+        K=rep, R=rep, t=rep,
+        X=shard_p,
+        obs_px=P(None, None, "cam"), obs_valid=P(None, "cam"),
+        cam_fixed=rep, point_fixed=shard_p)
+    out_specs = BATableResult(
+        R=rep, t=rep, X=shard_p,
+        obs_outlier=P(None, "cam"), obs_err=P(None, "cam"), cost=rep)
+    fn = shard_map(
+        partial(bundle_adjust_table, max_err=max_err, max_iter=max_iter,
                 inner_iter=inner_iter, axis_name="cam"),
         mesh=mesh, in_specs=(in_specs,), out_specs=out_specs,
         check_rep=False)

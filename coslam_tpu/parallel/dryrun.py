@@ -105,6 +105,36 @@ def run_dryrun(n_devices: int, h: int = 96, w: int = 128,
               f"cost={cost:.3f} median_err={med:.3f}px")
     assert np.isfinite(cost)
     assert med < 2.0, f"distributed BA did not converge (median {med})"
+
+    # 3) distributed dense-table BA (the engine's fast path): points
+    # sharded, camera system psum-reduced
+    from coslam_tpu.parallel.dist_ba import dist_bundle_adjust_table
+    from coslam_tpu.solvers.ba import BATableProblem
+    tbl_valid = np.zeros((M, Ppts), bool)
+    tbl_px = np.zeros((M, 2, Ppts), np.float32)
+    tbl_valid[obs_cam, obs_pt] = True
+    tbl_px[obs_cam, 0, obs_pt] = obs_px[:, 0]
+    tbl_px[obs_cam, 1, obs_pt] = obs_px[:, 1]
+    pf = tbl_valid.sum(0) < 2
+    shard_p = NamedSharding(mesh, P("cam"))
+    probT = BATableProblem(
+        K=jax.device_put(jnp.broadcast_to(K[0][None], (M, 3, 3)), rep_sh),
+        R=jax.device_put(jnp.asarray(Rb), rep_sh),
+        t=jax.device_put(jnp.asarray(tb), rep_sh),
+        X=jax.device_put(jnp.asarray(X + 0.05), shard_p),
+        obs_px=jax.device_put(jnp.asarray(tbl_px),
+                              NamedSharding(mesh, P(None, None, "cam"))),
+        obs_valid=jax.device_put(jnp.asarray(tbl_valid),
+                                 NamedSharding(mesh, P(None, "cam"))),
+        cam_fixed=jax.device_put(jnp.asarray(cam_fixed), rep_sh),
+        point_fixed=jax.device_put(jnp.asarray(pf), shard_p))
+    resT = dist_bundle_adjust_table(probT, mesh, max_err=10.0, max_iter=2,
+                                    inner_iter=8)
+    costT = float(resT.cost)
+    if verbose:
+        print(f"[dryrun] distributed table BA over {n_devices} devices: "
+              f"cost={costT:.3f}")
+    assert np.isfinite(costT)
     if verbose:
         print(f"[dryrun] OK: {n_devices}-device mesh, camera-sharded step "
-              f"+ psum Schur BA")
+              f"+ psum Schur BA (list + table forms)")

@@ -281,9 +281,15 @@ def _table_terms(K, R, t, Xl, prob: BATableProblem, w, axis_name=None):
     return Hcc, gc, Wcp, Hpp, gp, ru, rv, cost
 
 
-def _table_schur(Hcc, gc, Wcp, Hpp, gp, lam, cam_fixed, point_fixed, dt):
+def _table_schur(Hcc, gc, Wcp, Hpp, gp, lam, cam_fixed, point_fixed, dt,
+                 axis_name=None):
     """Damped GN step: eliminate points (closed-form 3x3, lane-major),
-    solve the reduced [6S, 6S] camera system, back-substitute."""
+    solve the reduced [6S, 6S] camera system, back-substitute.
+
+    With ``axis_name`` (point axis sharded over a mesh), the reduced
+    camera system's P-contractions are psum-reduced over ICI; the dense
+    [6S, 6S] solve replicates, back-substitution stays local per shard —
+    the distributed Schur-BA topology of SURVEY.md §7 stage 5."""
     from coslam_tpu.geometry.triangulate import inv3x3_sym_ln
     S = Hcc.shape[0]
     P = gp[0].shape[0]
@@ -312,13 +318,16 @@ def _table_schur(Hcc, gc, Wcp, Hpp, gp, lam, cam_fixed, point_fixed, dt):
     Wmat = jnp.stack([jnp.stack(Wm[i]) for i in range(6)])
     Wmat = Wmat.transpose(2, 0, 1, 3).reshape(S * 6, 3 * P)
     Sred = -(Ymat @ Wmat.T)                                 # [6S, 6S]
+    gpv = jnp.stack(gp_m).reshape(3 * P)
+    Ygp = (Ymat @ gpv).reshape(S, 6)
+    if axis_name is not None:
+        Sred, Ygp = jax.lax.psum((Sred, Ygp), axis_name)
     # damped camera blocks on the diagonal
     Hcc_d = Hcc + lam * (jnp.eye(6, dtype=dt)[None] * 1e-3
                          + Hcc * jnp.eye(6, dtype=dt)[None])
     Sred = Sred.reshape(S, 6, S, 6)
     Sred = Sred.at[jnp.arange(S), :, jnp.arange(S), :].add(Hcc_d)
-    gpv = jnp.stack(gp_m).reshape(3 * P)
-    rhs = gc - (Ymat @ gpv).reshape(S, 6)
+    rhs = gc - Ygp
     free = (~cam_fixed).astype(dt)
     Sred = Sred * free[:, None, None, None] * free[None, None, :, None]
     Sred = Sred.at[jnp.arange(S), :, jnp.arange(S), :].add(
@@ -362,7 +371,8 @@ def bundle_adjust_table(prob: BATableProblem, max_err: float = 10.0,
         Hcc, gc, Wcp, Hpp, gp, ru, rv, cost = _table_terms(
             prob.K, R, t, Xl, prob, w, axis_name)
         dc, dXl = _table_schur(Hcc, gc, Wcp, Hpp, gp, lam,
-                               prob.cam_fixed, prob.point_fixed, dt)
+                               prob.cam_fixed, prob.point_fixed, dt,
+                               axis_name)
         finite = jnp.all(jnp.isfinite(dc)) & \
             jnp.all(jnp.isfinite(jnp.stack(dXl)))
         dc = jnp.where(finite, dc, 0.0)

@@ -73,3 +73,55 @@ def test_dist_ba_matches_single_device(rng):
                                atol=5e-3)
     # and it actually solved the problem
     assert float(jnp.median(res_d.obs_err[prob.obs_valid])) < 1.0
+
+
+def test_dist_table_ba_matches_single_device(rng):
+    """Point-sharded dense-table BA (psum-reduced camera system) must match
+    the single-device table solve."""
+    from coslam_tpu.solvers.ba import BATableProblem, bundle_adjust_table
+    from coslam_tpu.parallel.dist_ba import dist_bundle_adjust_table
+    S, Ppts, n_dev = 6, 128, 8
+    K1 = np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]], np.float32)
+    X = rng.uniform(-3, 3, (Ppts, 3)).astype(np.float32)
+    X[:, 2] += 9
+    Rs, ts = [], []
+    for m in range(S):
+        w = 0.05 * rng.standard_normal(3).astype(np.float32)
+        Rs.append(np.asarray(se3.so3_exp(jnp.asarray(w))))
+        ts.append(np.array([0.4 * m, 0.05 * m, 0.0], np.float32))
+    Rs, ts = np.stack(Rs), np.stack(ts)
+    valid = rng.random((S, Ppts)) > 0.4
+    px = np.zeros((S, 2, Ppts), np.float32)
+    for s in range(S):
+        Xc = X @ Rs[s].T + ts[s]
+        px[s, 0] = Xc[:, 0] / Xc[:, 2] * 300 + 160
+        px[s, 1] = Xc[:, 1] / Xc[:, 2] * 300 + 120
+    px += 0.3 * rng.standard_normal(px.shape).astype(np.float32)
+    cam_fixed = np.zeros(S, bool)
+    cam_fixed[:2] = True
+    Rp = Rs.copy()
+    for m in range(2, S):
+        dR = np.asarray(se3.so3_exp(jnp.asarray(
+            0.02 * rng.standard_normal(3).astype(np.float32))))
+        Rp[m] = dR @ Rs[m]
+    # freeze under-constrained points, as the engine's build_ba_table does
+    # (their normal blocks are rank-deficient; the closed-form inverse
+    # amplifies numeric noise differently per reduction order)
+    point_fixed = valid.sum(0) < 2
+    prob = BATableProblem(
+        K=jnp.broadcast_to(jnp.asarray(K1)[None], (S, 3, 3)),
+        R=jnp.asarray(Rp), t=jnp.asarray(ts),
+        X=jnp.asarray(X + 0.05),
+        obs_px=jnp.asarray(px), obs_valid=jnp.asarray(valid),
+        cam_fixed=jnp.asarray(cam_fixed),
+        point_fixed=jnp.asarray(point_fixed))
+    mesh = make_cam_mesh(n_dev)
+    res_d = dist_bundle_adjust_table(prob, mesh, max_err=6.0, max_iter=2,
+                                     inner_iter=12)
+    res_1 = bundle_adjust_table(prob, max_err=6.0, max_iter=2,
+                                inner_iter=12)
+    assert np.abs(np.asarray(res_d.R) - np.asarray(res_1.R)).max() < 2e-4
+    assert np.abs(np.asarray(res_d.t) - np.asarray(res_1.t)).max() < 2e-3
+    free = ~point_fixed
+    dX = np.abs(np.asarray(res_d.X) - np.asarray(res_1.X))[free]
+    assert dX.max() < 2e-2, dX.max()
