@@ -80,6 +80,10 @@ class SlamParams:
     ba_inner_iter: int = 30          # inner LM iterations
     ba_cadence: int = 1              # run BA every k-th keyframe
     dyn_max_points: int = 60         # dynamic points in joint pose (InterCamPoseEstimator)
+    dyn_neighborhood_px: float = 12.0  # decidePointType: new inter-cam
+                                       # points this close to a dynamic
+                                       # feature mint dynamic, not static
+                                       # (SL_NewMapPointsInterCam.cpp:25-91)
     reproj_new_point_gate: float = 3.0   # new-point acceptance reproj error (px)
     new_point_min_parallax_deg: float = 1.0  # min ray angle for triangulation
     init_frames: int = 10            # bootstrap tracking span (nInitFrm role)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from coslam_tpu.slam.state import (SlamState, TrackTable, MapPoints,
                                    KeyframeStore)
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2   # v2: KeyframeStore dynamic-snapshot fields
 
 
 def _flatten_state(state: SlamState) -> dict:

@@ -43,7 +43,8 @@ def state_pspecs(state: SlamState) -> SlamState:
         mappts=type(state.mappts)(*([rep] * len(state.mappts))),
         kfs=type(state.kfs)(
             frame=rep, R=kf_cam, t=kf_cam, obs_pos=kf_cam, obs_mpt=kf_cam,
-            obs_gen=kf_cam, n=rep),
+            obs_gen=kf_cam, dyn_xyz=rep, dyn_obs_px=kf_cam,
+            dyn_obs_ok=kf_cam, n=rep),
         pose_hist_R=cam, pose_hist_t=cam,
         group_id=cam)
 

@@ -100,6 +100,59 @@ class ClassifyOut(NamedTuple):
     n_static: jnp.ndarray
     n_dynamic: jnp.ndarray
     n_false: jnp.ndarray
+    tracks: object = None   # TrackTable with outlier views detached
+                            # (isStaticRemovable), None before classify
+
+
+def _windowed_static_err(state: SlamState, K: jnp.ndarray,
+                         slot: jnp.ndarray, cfg: SlamConfig):
+    """The isStaticPoint frame-window test (SL_CoSLAMHelper.cpp:253-315):
+    reproject each point's STORED position against its feature's history
+    observations at the historic poses, over the last
+    ``classify_frame_window`` frames (clamped to the history-ring span).
+    Returns (n_checks [P], n_consistent [P]). Lane-major: P on lanes,
+    [T, P] blocks per camera."""
+    tracks, mappts = state.tracks, state.mappts
+    C, T, N = tracks.hist_valid.shape
+    P = mappts.xyz.shape[0]
+    p = cfg.p
+    W = min(p.classify_frame_window, T - 1)
+    frame = state.frame
+    k_off = jnp.arange(T)
+    past_frame = frame - k_off
+    ring = jnp.mod(past_frame, T)
+    in_win = (k_off >= 1) & (k_off <= W)
+    gate = p.max_epi_err
+    Xs = [mappts.xyz[:, i] for i in range(3)]              # 3 x [P]
+    dt = mappts.xyz.dtype
+    n_checks = jnp.zeros((P,), jnp.int32)
+    n_cons = jnp.zeros((P,), jnp.int32)
+    fx, fy = K[:, 0, 0], K[:, 1, 1]
+    cx, cy = K[:, 0, 2], K[:, 1, 2]
+    for c in range(C):
+        sl = jnp.clip(slot[:, c], 0)                       # [P]
+        bound = slot[:, c] >= 0
+        hpos = jnp.take(tracks.hist[c], ring, axis=0)      # [T, N, 2]
+        hok = jnp.take(tracks.hist_valid[c], ring, axis=0)  # [T, N]
+        hx = hpos[:, :, 0][:, sl]                          # [T, P]
+        hy = hpos[:, :, 1][:, sl]
+        ages = jnp.minimum(tracks.age[c, sl] - 1, T - 1)   # [P]
+        ok = hok[:, sl] & bound[None, :] & in_win[:, None] & \
+            (k_off[:, None] <= ages[None, :]) & (past_frame[:, None] >= 0)
+        Rp = jnp.take(state.pose_hist_R[c], ring, axis=0)  # [T, 3, 3]
+        tp = jnp.take(state.pose_hist_t[c], ring, axis=0)  # [T, 3]
+        Xc = [Rp[:, i, 0, None] * Xs[0][None] + Rp[:, i, 1, None] * Xs[1][None]
+              + Rp[:, i, 2, None] * Xs[2][None] + tp[:, i, None]
+              for i in range(3)]                            # 3 x [T, P]
+        z = Xc[2]
+        zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        du = fx[c] * Xc[0] * zi + cx[c] - hx
+        dv = fy[c] * Xc[1] * zi + cy[c] - hy
+        e2 = du * du + dv * dv
+        good = ok & (z > 1e-3) & (e2 < gate * gate)
+        n_checks = n_checks + jnp.sum(ok, axis=0)
+        n_cons = n_cons + jnp.sum(good, axis=0)
+    return n_checks, n_cons
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -133,6 +186,7 @@ def classify_map_points(state: SlamState, K: jnp.ndarray,
     Xs_ln = mappts.xyz.T                                    # stored, [3, P]
     max_err = jnp.zeros((P,), dt)
     max_err_stored = jnp.zeros((P,), dt)
+    es_all: list = []        # per-view stored-reproj errors (for drop-one)
     depth_ok = jnp.ones((P,), bool)
     Hpx = [[jnp.full((P,), 1e-9 if i == j else 0.0, dt) for j in range(3)]
            for i in range(3)]
@@ -158,6 +212,7 @@ def classify_map_points(state: SlamState, K: jnp.ndarray,
         us = fx[c] * Xcs[0] * zsi + cx[c]
         vs = fy[c] * Xcs[1] * zsi + cy[c]
         es = jnp.hypot(us - pxT[c, 0], vs - pxT[c, 1])
+        es_all.append(jnp.where(okT[c], es, 0.0))
         max_err_stored = jnp.maximum(max_err_stored,
                                      jnp.where(okT[c], es, 0.0))
         # pixel-space projection Jacobian rows (for the dynamic-point cov):
@@ -173,6 +228,65 @@ def classify_map_points(state: SlamState, K: jnp.ndarray,
     X_cur = X_ln.T                                          # [P, 3]
     tri_ok = (nv >= 2) & depth_ok & (max_err < p.max_err) & \
         jnp.all(jnp.isfinite(X_cur), axis=1)
+    is_staticp = mappts.ptype == PT_STATIC
+    # N-frame static-consistency window (isStaticPoint over
+    # classify_frame_window frames): stored position must keep explaining
+    # the feature history; a fraction test so one glitched historic pose
+    # doesn't condemn the whole map
+    n_chk, n_con = _windowed_static_err(state, K, slot, cfg)
+    win_fail = alive & is_staticp & (n_chk >= 4) & \
+        (n_con.astype(dt) < 0.75 * n_chk.astype(dt))
+    # isStaticRemovable (drop one outlier view): a static point failing
+    # the consistency tests with >=3 views may be corrupted by ONE view
+    # (occlusion boundary, feature mismatch) — re-triangulate with each
+    # view dropped; if the remaining views agree, detach that view and
+    # keep the point static (SL_CoSLAMHelper.cpp:253-315)
+    suspect = alive & is_staticp & (nv >= 3) & (win_fail | ~tri_ok)
+    # only the WORST stored-reprojection view may be dropped: any two
+    # remaining rays triangulate near-perfectly, so "first view whose
+    # removal works" would happily detach a good view and keep the bad one
+    es_stack = jnp.stack(es_all)                           # [C, P]
+    worst_view = jnp.argmax(jnp.where(okT, es_stack, -jnp.inf), axis=0)
+    save_any = jnp.zeros((P,), bool)
+    detach_cam = jnp.zeros((P,), jnp.int32)
+    X_saved = [jnp.zeros((P,), dt) for _ in range(3)]
+    cam_axis = jnp.arange(C)
+    for cdrop in range(C):
+        okT_wo = okT & (cam_axis != cdrop)[:, None]
+        X_wo, _ = triangulate_multiview_ln(state.R, state.t, xnT, okT_wo)
+        max_e = jnp.zeros((P,), dt)
+        dok = jnp.ones((P,), bool)
+        for c in range(C):
+            if c == cdrop:
+                continue
+            R, t = state.R[c], state.t[c]
+            Xc = [R[i, 0] * X_wo[0] + R[i, 1] * X_wo[1]
+                  + R[i, 2] * X_wo[2] + t[i] for i in range(3)]
+            z = Xc[2]
+            zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+            u = fx[c] * Xc[0] * zi + cx[c]
+            v = fy[c] * Xc[1] * zi + cy[c]
+            e = jnp.hypot(u - pxT[c, 0], v - pxT[c, 1])
+            max_e = jnp.maximum(max_e, jnp.where(okT_wo[c], e, 0.0))
+            dok = dok & jnp.where(okT_wo[c], z > 1e-3, True)
+        fin = jnp.isfinite(X_wo[0]) & jnp.isfinite(X_wo[1]) & \
+            jnp.isfinite(X_wo[2])
+        ok_wo = suspect & okT[cdrop] & (worst_view == cdrop) & dok & \
+            (max_e < p.max_err) & fin
+        new_save = ok_wo & ~save_any
+        detach_cam = jnp.where(new_save, cdrop, detach_cam)
+        for i in range(3):
+            X_saved[i] = jnp.where(new_save, X_wo[i], X_saved[i])
+        save_any = save_any | new_save
+    saved = save_any
+    win_fail = win_fail & ~saved
+    # detach the outlier view's feature from the saved point
+    mpt_new = tracks.mpt
+    for c in range(C):
+        det = saved & (detach_cam == c) & (slot[:, c] >= 0)
+        fidx = jnp.where(det, jnp.clip(slot[:, c], 0), N)
+        mpt_new = mpt_new.at[c, fidx].set(-1, mode="drop")
+    tracks_out = tracks._replace(mpt=mpt_new)
     # moved test: the current observations re-triangulate consistently
     # (tri_ok) but the stored position no longer explains them — the
     # point moved. Pixel-space, so it is scale-free and trips within a
@@ -184,6 +298,7 @@ def classify_map_points(state: SlamState, K: jnp.ndarray,
     mv = jnp.where(alive & tri_ok,
                    jnp.where(moved_now, mappts.moved_votes + 1, 0),
                    mappts.moved_votes)
+    mv = jnp.where(saved, 0, mv)
     moved = mv >= 2
     # feature-level dynamic votes: any bound feature voted dynamic
     feat_dyn = jnp.zeros((P,), bool)
@@ -193,8 +308,9 @@ def classify_map_points(state: SlamState, K: jnp.ndarray,
         True, mode="drop")
 
     is_dynamic = alive & tri_ok & (moved | feat_dyn)
-    is_static_ok = alive & tri_ok & ~moved & ~feat_dyn
-    is_incons = alive & (nv >= 2) & ~tri_ok
+    is_static_ok = alive & tri_ok & ~moved & ~feat_dyn & ~win_fail
+    is_incons = (alive & (nv >= 2) & ~tri_ok & ~saved) | \
+        (win_fail & ~is_dynamic)
     # single-view points with dynamic-voting features become uncertain
     single_dyn = alive & (nv < 2) & feat_dyn
 
@@ -209,13 +325,16 @@ def classify_map_points(state: SlamState, K: jnp.ndarray,
     # a tracked moving object must have its position follow the object
     upd_pos = alive & tri_ok & (is_dynamic | (ptype == PT_DYNAMIC))
     xyz = jnp.where(upd_pos[:, None], X_cur, mappts.xyz)
+    # saved points take the drop-one-view re-triangulation
+    X_sv = jnp.stack(X_saved, axis=-1)
+    xyz = jnp.where((saved & ~upd_pos)[:, None], X_sv, xyz)
     Hinv = inv3x3_sym_ln(Hpx)
     cov_dyn = jnp.stack([jnp.stack(r) for r in Hinv]) * p.pixel_err_var
     cov = jnp.where(upd_pos[:, None, None],
                     cov_dyn.transpose(2, 0, 1), mappts.cov)
     # persistent inconsistency -> false (the setFalse path)
     bad = jnp.where(is_incons, mappts.bad_votes + 1,
-                    jnp.where(is_static_ok | is_dynamic, 0,
+                    jnp.where(is_static_ok | is_dynamic | saved, 0,
                               mappts.bad_votes))
     status = jnp.where(alive & (bad >= 3), ST_FALSE, mappts.status)
     mappts = mappts._replace(xyz=xyz, cov=cov, ptype=ptype, status=status,
@@ -224,4 +343,5 @@ def classify_map_points(state: SlamState, K: jnp.ndarray,
     n_dynamic = jnp.sum((mappts.status == ST_ALIVE) & (ptype == PT_DYNAMIC))
     n_false = jnp.sum(status == ST_FALSE)
     return ClassifyOut(mappts=mappts, n_static=n_static,
-                       n_dynamic=n_dynamic, n_false=n_false)
+                       n_dynamic=n_dynamic, n_false=n_false,
+                       tracks=tracks_out)

@@ -57,7 +57,7 @@ def frame_step(state: SlamState, pyr_prev, imgs_cur: jnp.ndarray,
                                               classify_map_points)
         state = detect_dynamic_features(state, K, cfg)
         cls = classify_map_points(state, K, cfg)
-        state = state._replace(mappts=cls.mappts)
+        state = state._replace(mappts=cls.mappts, tracks=cls.tracks)
         n_static, n_dynamic = cls.n_static, cls.n_dynamic
     else:
         n_static = jnp.zeros((), jnp.int32)

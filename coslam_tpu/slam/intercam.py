@@ -124,6 +124,164 @@ def intercam_map_pair(state: SlamState, pyr_cur, K: jnp.ndarray,
     return mp, tracks, jnp.sum(can)
 
 
+@partial(jax.jit, static_argnames=("cfg", "cams"))
+def intercam_map_group(state: SlamState, pyr_cur, K: jnp.ndarray,
+                       kc: jnp.ndarray, cams: tuple, cfg: SlamConfig):
+    """Multi-view inter-camera mapping over a whole camera group.
+
+    The reference chains pairwise epipolar+NCC matches along the group
+    order into >=2-view feature tracks (featTracksFromMatches,
+    SL_NewMapPointsInterCam.cpp:158), triangulates them multi-view
+    (:224,631), and types each new point by its dynamic neighborhood
+    (decidePointType, :25-91). Here the chains are index-propagation
+    arrays over the static group tuple, triangulation is the lane-major
+    multiview DLT, and the neighborhood test is a masked min-distance
+    reduction per view. Returns (mappts', tracks', n_new)."""
+    from coslam_tpu.ops.ncc import extract_ncc_blocks_batched
+    from coslam_tpu.geometry.triangulate import (triangulate_multiview_ln,
+                                                 inv3x3_sym_ln)
+    tracks, mappts = state.tracks, state.mappts
+    C, N = tracks.valid.shape
+    P = mappts.xyz.shape[0]
+    G = len(cams)
+    p = cfg.p
+    blocks_all, ok_all = extract_ncc_blocks_batched(
+        pyr_cur.imgs[0], tracks.raw, p.ncc_patch_radius)
+    free = [tracks.valid[c] & (tracks.mpt[c] < 0) & ok_all[c]
+            & (tracks.dyn_votes[c] < 3) for c in cams]
+    # adjacent-pair guided matches along the group order
+    links = []
+    for g in range(G - 1):
+        a, b = cams[g], cams[g + 1]
+        F = fundamental_from_poses(K[a], state.R[a], state.t[a],
+                                   K[b], state.R[b], state.t[b])
+        m = guided_match(blocks_all[a], blocks_all[b], free[g], free[g + 1],
+                         tracks.pos[a], tracks.pos[b], F=F,
+                         max_epi=p.max_epi_err, min_ncc=p.ncc_min_score)
+        links.append(m.a_to_b)                     # [N] -> cam b index | -1
+    # chain the links into tracks: each chain is rooted at the first
+    # group camera where its feature appears; roots are features that are
+    # not the target of the previous link (so every chain minted once)
+    M = (G - 1) * N
+    arangeN = jnp.arange(N, dtype=jnp.int32)
+    fidx = jnp.full((G, G - 1, N), -1, jnp.int32)  # [view, root-set, feat]
+    for r in range(G - 1):
+        if r > 0:
+            lk = links[r - 1]
+            is_target = jnp.zeros((N,), bool).at[
+                jnp.where(lk >= 0, lk, N)].set(True, mode="drop")
+        else:
+            is_target = jnp.zeros((N,), bool)
+        cur = jnp.where(free[r] & ~is_target & (links[r] >= 0), arangeN, -1)
+        fidx = fidx.at[r, r].set(cur)
+        for g in range(r, G - 1):
+            cur = jnp.where(cur >= 0, links[g][jnp.clip(cur, 0)], -1)
+            fidx = fidx.at[g + 1, r].set(cur)
+    fidx = fidx.reshape(G, M)                      # [G, M]
+    obs_ok = fidx >= 0
+    fsl = jnp.clip(fidx, 0)
+    px = jnp.stack([tracks.pos[c][fsl[g]]
+                    for g, c in enumerate(cams)])  # [G, M, 2]
+    # lane-major multiview triangulation
+    Rg = jnp.stack([state.R[c] for c in cams])
+    tg = jnp.stack([state.t[c] for c in cams])
+    Kg = jnp.stack([K[c] for c in cams])
+    fx, fy = Kg[:, 0, 0], Kg[:, 1, 1]
+    cx, cy = Kg[:, 0, 2], Kg[:, 1, 2]
+    pxT = px.transpose(0, 2, 1)                    # [G, 2, M]
+    xnT = jnp.stack([(pxT[:, 0] - cx[:, None]) / fx[:, None],
+                     (pxT[:, 1] - cy[:, None]) / fy[:, None]], axis=1)
+    X_ln, _ = triangulate_multiview_ln(Rg, tg, xnT, obs_ok)   # [3, M]
+    dt = X_ln.dtype
+    max_err = jnp.zeros((M,), dt)
+    depth_ok = jnp.ones((M,), bool)
+    Hpx = [[jnp.full((M,), 1e-9 if i == j else 0.0, dt) for j in range(3)]
+           for i in range(3)]
+    for g in range(G):
+        R, t = Rg[g], tg[g]
+        Xc = [R[i, 0] * X_ln[0] + R[i, 1] * X_ln[1] + R[i, 2] * X_ln[2]
+              + t[i] for i in range(3)]
+        z = Xc[2]
+        zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        u = fx[g] * Xc[0] * zi + cx[g]
+        v = fy[g] * Xc[1] * zi + cy[g]
+        e = jnp.hypot(u - pxT[g, 0], v - pxT[g, 1])
+        max_err = jnp.maximum(max_err, jnp.where(obs_ok[g], e, 0.0))
+        depth_ok = depth_ok & jnp.where(obs_ok[g], z > 1e-3, True)
+        xz = Xc[0] * zi
+        yz = Xc[1] * zi
+        Ju = [fx[g] * (R[0, j] - xz * R[2, j]) * zi for j in range(3)]
+        Jv = [fy[g] * (R[1, j] - yz * R[2, j]) * zi for j in range(3)]
+        w = obs_ok[g].astype(dt)
+        for i in range(3):
+            for j in range(i + 1):
+                Hpx[i][j] = Hpx[i][j] + w * (Ju[i] * Ju[j] + Jv[i] * Jv[j])
+    # parallax: widest angle between point->camera-center directions
+    centers = -jnp.einsum("gji,gj->gi", Rg, tg)    # [G, 3]
+    dirs = []
+    for g in range(G):
+        d = [X_ln[i] - centers[g, i] for i in range(3)]
+        nrm = jnp.sqrt(d[0] ** 2 + d[1] ** 2 + d[2] ** 2 + 1e-18)
+        dirs.append([d[i] / nrm for i in range(3)])
+    min_cos = jnp.ones((M,), dt)
+    for g1 in range(G):
+        for g2 in range(g1 + 1, G):
+            cth = jnp.abs(sum(dirs[g1][i] * dirs[g2][i] for i in range(3)))
+            both = obs_ok[g1] & obs_ok[g2]
+            min_cos = jnp.minimum(min_cos, jnp.where(both, cth, 1.0))
+    max_cos = jnp.cos(jnp.deg2rad(p.new_point_min_parallax_deg))
+    fin = jnp.isfinite(X_ln[0]) & jnp.isfinite(X_ln[1]) & jnp.isfinite(X_ln[2])
+    good = (jnp.sum(obs_ok, axis=0) >= 2) & depth_ok & fin & \
+        (max_err < p.reproj_new_point_gate) & (min_cos < max_cos)
+    # decidePointType: near a dynamic feature in any observing view ->
+    # the new point belongs to the moving object, mint it dynamic
+    near_dyn = jnp.zeros((M,), bool)
+    r2 = p.dyn_neighborhood_px ** 2
+    for g, c in enumerate(cams):
+        mic = jnp.clip(tracks.mpt[c], 0)
+        dyn_feat = tracks.valid[c] & (
+            (tracks.dyn_votes[c] >= 3)
+            | ((tracks.mpt[c] >= 0) & (mappts.status[mic] == ST_ALIVE)
+               & (mappts.ptype[mic] == PT_DYNAMIC)))
+        d2 = (px[g][:, None, 0] - tracks.pos[c][None, :, 0]) ** 2 + \
+             (px[g][:, None, 1] - tracks.pos[c][None, :, 1]) ** 2
+        dmin2 = jnp.min(jnp.where(dyn_feat[None, :], d2, jnp.inf), axis=1)
+        near_dyn = near_dyn | (obs_ok[g] & (dmin2 < r2))
+    # allocate + write
+    slot, can = _alloc_slots(mappts, good)
+    X_new = X_ln.T                                 # [M, 3]
+    Hinv = inv3x3_sym_ln(Hpx)
+    covs = jnp.stack([jnp.stack(row) for row in Hinv]) \
+        .transpose(2, 0, 1) * p.pixel_err_var      # [M, 3, 3]
+    import numpy as _np
+    owner_m = jnp.asarray(_np.repeat(_np.asarray(cams[:G - 1], _np.int32), N))
+    ptype_new = jnp.where(near_dyn, PT_DYNAMIC, PT_STATIC).astype(jnp.int32)
+    mp = mappts._replace(
+        xyz=mappts.xyz.at[slot].set(X_new, mode="drop"),
+        cov=mappts.cov.at[slot].set(covs, mode="drop"),
+        gen=mappts.gen.at[slot].add(1, mode="drop"),
+        status=mappts.status.at[slot].set(ST_ALIVE, mode="drop"),
+        ptype=mappts.ptype.at[slot].set(ptype_new, mode="drop"),
+        first_frame=mappts.first_frame.at[slot].set(state.frame, mode="drop"),
+        last_obs=mappts.last_obs.at[slot].set(state.frame, mode="drop"),
+        bad_votes=mappts.bad_votes.at[slot].set(0, mode="drop"),
+        moved_votes=mappts.moved_votes.at[slot].set(0, mode="drop"),
+        owner=mappts.owner.at[slot].set(owner_m, mode="drop"))
+    mpt = tracks.mpt
+    slot_i32 = jnp.where(can, slot, 0).astype(jnp.int32)
+    for g, c in enumerate(cams):
+        use = obs_ok[g] & can
+        tgt = jnp.where(use, fsl[g], N)
+        mpt = mpt.at[c, tgt].set(jnp.where(use, slot_i32, 0), mode="drop")
+        pslot = jnp.where(use, slot, P)
+        mp = mp._replace(
+            ncc=mp.ncc.at[pslot, c].set(blocks_all[c][fsl[g]], mode="drop"),
+            ncc_valid=mp.ncc_valid.at[pslot, c].set(
+                ok_all[c][fsl[g]], mode="drop"))
+    tracks = tracks._replace(mpt=mpt)
+    return mp, tracks, jnp.sum(can)
+
+
 @partial(jax.jit,
          static_argnames=("cfg", "gate_scale", "min_score", "steal_young"))
 def register_map_points(state: SlamState, pyr_cur, K: jnp.ndarray,
@@ -209,12 +367,17 @@ def joint_pose_update(state: SlamState, K: jnp.ndarray, cfg: SlamConfig,
     mapped = tracks.valid & (tracks.mpt >= 0) & (mappts.status[mi] == ST_ALIVE)
     is_static = mapped & (mappts.ptype[mi] == PT_STATIC)
     is_dyn = mapped & (mappts.ptype[mi] == PT_DYNAMIC)
+    dyn_pt = jnp.zeros((P,), bool).at[
+        jnp.where(is_dyn, tracks.mpt, P)].set(True, mode="drop")
+    # cap the dynamic structure-help points at dyn_max_points (the
+    # reference collects at most 60, SL_InterCamPoseEstimator.cpp:18-91)
+    dyn_rank = jnp.cumsum(dyn_pt) - 1
+    dyn_pt = dyn_pt & (dyn_rank < p.dyn_max_points)
+    is_dyn = is_dyn & dyn_pt[mi]
     obs_valid = (is_static | is_dyn).reshape(C * N)
     obs_cam = jnp.broadcast_to(jnp.arange(C)[:, None], (C, N)).reshape(-1)
     obs_pt = mi.reshape(-1)
     obs_px = tracks.pos.reshape(C * N, 2)
-    dyn_pt = jnp.zeros((P,), bool).at[
-        jnp.where(is_dyn, tracks.mpt, P)].set(True, mode="drop")
     prob = BAProblem(
         K=K, R=state.R, t=state.t, X=mappts.xyz,
         obs_cam=obs_cam.astype(jnp.int32), obs_pt=obs_pt.astype(jnp.int32),

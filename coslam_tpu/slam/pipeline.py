@@ -441,7 +441,8 @@ class CoSlamEngine:
                                                   classify_map_points)
             self.state = detect_dynamic_features(self.state, self.K, cfg)
             cls = classify_map_points(self.state, self.K, cfg)
-            self.state = self.state._replace(mappts=cls.mappts)
+            self.state = self.state._replace(mappts=cls.mappts,
+                                             tracks=cls.tracks)
             if int(cls.n_dynamic) > 0:
                 self._store_dynamic_snapshot()
             # post-merge settle window: suppress re-grouping while shared

@@ -71,7 +71,14 @@ class MapPoints(NamedTuple):
 
 class KeyframeStore(NamedTuple):
     """Ring of keyframes with per-slot observation snapshots
-    (KeyPose/KeyFrame equivalent; feeds BA windows)."""
+    (KeyPose/KeyFrame equivalent; feeds BA windows).
+
+    ``dyn_*``: per-keyframe deep-copied dynamic-point snapshots
+    (KeyFrame::storeDynamicMapPoints, SL_KeyPoseList.h:140-148) — a
+    dynamic point's position is only meaningful at its snapshot instant,
+    so each keyframe carries its own copy + observations; the BA window
+    treats each (keyframe, dynamic point) as an independent landmark
+    (SL_CoSLAMRobustBA.cpp:66-77)."""
 
     frame: jnp.ndarray    # [KF] i32, -1 = empty
     R: jnp.ndarray        # [KF, C, 3, 3]
@@ -79,6 +86,9 @@ class KeyframeStore(NamedTuple):
     obs_pos: jnp.ndarray  # [KF, C, N, 2] undistorted px at the keyframe
     obs_mpt: jnp.ndarray  # [KF, C, N] i32 map binding at the keyframe
     obs_gen: jnp.ndarray  # [KF, C, N] i32 map-slot generation at snapshot
+    dyn_xyz: jnp.ndarray     # [KF, D, 3] dynamic-point snapshot positions
+    dyn_obs_px: jnp.ndarray  # [KF, C, D, 2] their per-camera observations
+    dyn_obs_ok: jnp.ndarray  # [KF, C, D]
     n: jnp.ndarray        # scalar i32: total keyframes ever written
 
 
@@ -128,6 +138,7 @@ def init_state(cfg: SlamConfig) -> SlamState:
         owner=jnp.zeros((P,), i32),
         ncc=jnp.zeros((P, C, B), f32),
         ncc_valid=jnp.zeros((P, C), bool))
+    D = cfg.p.dyn_max_points
     kfs = KeyframeStore(
         frame=jnp.full((KF,), -1, i32),
         R=jnp.tile(jnp.eye(3, dtype=f32), (KF, C, 1, 1)),
@@ -135,6 +146,9 @@ def init_state(cfg: SlamConfig) -> SlamState:
         obs_pos=jnp.zeros((KF, C, N, 2), f32),
         obs_mpt=jnp.full((KF, C, N), -1, i32),
         obs_gen=jnp.zeros((KF, C, N), i32),
+        dyn_xyz=jnp.zeros((KF, D, 3), f32),
+        dyn_obs_px=jnp.zeros((KF, C, D, 2), f32),
+        dyn_obs_ok=jnp.zeros((KF, C, D), bool),
         n=jnp.zeros((), i32))
     return SlamState(
         frame=jnp.zeros((), i32),

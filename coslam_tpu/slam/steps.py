@@ -478,9 +478,23 @@ def new_map_points(state: SlamState, pyr_cur: Pyramid, K: jnp.ndarray,
 def add_keyframe(state: SlamState) -> KeyframeStore:
     kfs = state.kfs
     KF = kfs.frame.shape[0]
+    D = kfs.dyn_xyz.shape[1]
+    P = state.mappts.xyz.shape[0]
     w = jnp.mod(kfs.n, KF)
     mapped = state.tracks.valid & (state.tracks.mpt >= 0)
     mi = jnp.clip(state.tracks.mpt, 0)
+    # dynamic-point snapshot (storeDynamicMapPoints): deep-copy up to D
+    # alive dynamic points' positions + per-camera observations so the BA
+    # window can constrain this keyframe's cameras through them
+    from coslam_tpu.slam.classify import point_obs_table
+    dyn = (state.mappts.status == ST_ALIVE) & \
+        (state.mappts.ptype == PT_DYNAMIC)
+    pt_of_d = _rank_to_index(dyn)[:D]            # [D], P where none
+    d_ok = pt_of_d < P
+    pt_c = jnp.clip(pt_of_d, 0, P - 1)
+    _, obs_px, obs_ok = point_obs_table(state.tracks, P)   # [P,C,2],[P,C]
+    dyn_px = obs_px[pt_c].transpose(1, 0, 2)     # [C, D, 2]
+    dyn_ok = (obs_ok[pt_c] & d_ok[:, None]).T    # [C, D]
     return KeyframeStore(
         frame=kfs.frame.at[w].set(state.frame),
         R=kfs.R.at[w].set(state.R),
@@ -489,6 +503,9 @@ def add_keyframe(state: SlamState) -> KeyframeStore:
         obs_mpt=kfs.obs_mpt.at[w].set(
             jnp.where(mapped, state.tracks.mpt, -1)),
         obs_gen=kfs.obs_gen.at[w].set(state.mappts.gen[mi]),
+        dyn_xyz=kfs.dyn_xyz.at[w].set(state.mappts.xyz[pt_c]),
+        dyn_obs_px=kfs.dyn_obs_px.at[w].set(dyn_px),
+        dyn_obs_ok=kfs.dyn_obs_ok.at[w].set(dyn_ok),
         n=kfs.n + 1)
 
 
@@ -531,6 +548,11 @@ def build_ba_problem(state: SlamState, K: jnp.ndarray,
     pre_window = mappts.first_frame < oldest_frame
     point_fixed = (cnt < 2) | pre_window
     obs_valid = obs_valid.reshape(O) & (cnt[obs_pt] >= 2)
+    # bound the problem at max_obs_per_ba observation slots (the list
+    # form is what multi-host BA shards; the cap keeps per-device work
+    # bounded at full capacity)
+    obs_valid = obs_valid & (jnp.cumsum(obs_valid) - 1
+                             < cfg.cap.max_obs_per_ba)
     # gauge: cameras of the two oldest valid keyframes are fixed
     n_valid = jnp.sum(kf_ok)
     first_valid = W - n_valid
@@ -588,11 +610,43 @@ def build_ba_table(state: SlamState, K: jnp.ndarray, cfg: SlamConfig):
     first_valid = W - n_valid
     kf_fixed = jnp.arange(W) < (first_valid + 2)
     cam_fixed = jnp.broadcast_to(kf_fixed[:, None], (W, C)).reshape(S)
+    # --- dynamic-snapshot columns (SL_CoSLAMRobustBA.cpp:66-77): each
+    # keyframe's deep-copied dynamic points become independent landmarks
+    # observed ONLY by that keyframe's cameras (a moving point has no
+    # cross-keyframe identity). They add same-instant multi-camera
+    # constraints — the paper's "dynamic points help the cameras" effect
+    # inside the BA window. Column layout: [P static | W*D dyn (padded)].
+    D = kfs.dyn_xyz.shape[1]
+    E = -(-(W * D) // 128) * 128                 # lane-pad the dyn block
+    dyn_px = kfs.dyn_obs_px[ring]                # [W, C, D, 2]
+    dyn_ok = kfs.dyn_obs_ok[ring] & kf_ok[:, None, None]
+    eyeW = jnp.eye(W, dtype=bool)
+    ok_ext = dyn_ok[:, :, None, :] & eyeW[:, None, :, None]  # [W,C,W,D]
+    u_ext = jnp.where(ok_ext, dyn_px[:, :, None, :, 0], 0.0)
+    v_ext = jnp.where(ok_ext, dyn_px[:, :, None, :, 1], 0.0)
+    ok_ext = ok_ext.reshape(S, W * D)
+    u_ext = u_ext.reshape(S, W * D)
+    v_ext = v_ext.reshape(S, W * D)
+    pad = E - W * D
+    dt = tbl_u.dtype
+    if pad:
+        ok_ext = jnp.pad(ok_ext, ((0, 0), (0, pad)))
+        u_ext = jnp.pad(u_ext, ((0, 0), (0, pad)))
+        v_ext = jnp.pad(v_ext, ((0, 0), (0, pad)))
+    cnt_ext = jnp.sum(ok_ext, axis=0)
+    ok_ext = ok_ext & (cnt_ext >= 2)[None]
+    X_ext = jnp.pad(kfs.dyn_xyz[ring].reshape(W * D, 3).astype(dt),
+                    ((0, pad), (0, 0)))
     prob = BATableProblem(
         K=jnp.broadcast_to(K[None], (W, C, 3, 3)).reshape(S, 3, 3),
-        R=Rw, t=tw, X=mappts.xyz,
-        obs_px=jnp.stack([tbl_u, tbl_v], axis=1),
-        obs_valid=valid, cam_fixed=cam_fixed, point_fixed=point_fixed)
+        R=Rw, t=tw,
+        X=jnp.concatenate([mappts.xyz, X_ext], axis=0),
+        obs_px=jnp.concatenate(
+            [jnp.stack([tbl_u, tbl_v], axis=1),
+             jnp.stack([u_ext, v_ext], axis=1)], axis=2),
+        obs_valid=jnp.concatenate([valid, ok_ext], axis=1),
+        cam_fixed=cam_fixed,
+        point_fixed=jnp.concatenate([point_fixed, cnt_ext < 2]))
     return prob, ring, kf_ok
 
 
@@ -601,10 +655,13 @@ def apply_ba_table_results(state: SlamState, res, ring: jnp.ndarray,
                            kf_ok: jnp.ndarray, cfg: SlamConfig,
                            gen0: jnp.ndarray | None = None) -> SlamState:
     """apply_ba_results for the table solver's BATableResult (the
-    per-point outlier counts come from the [S, P] flag table)."""
-    n_bad = jnp.sum(res.obs_outlier, axis=0)
-    return _apply_ba_core(state, res.R, res.t, res.X, n_bad, ring, kf_ok,
-                          cfg, gen0)
+    per-point outlier counts come from the [S, P] flag table). Columns
+    beyond the map capacity are per-keyframe dynamic snapshots — they
+    constrain the solve but do not write back."""
+    P = state.mappts.xyz.shape[0]
+    n_bad = jnp.sum(res.obs_outlier[:, :P], axis=0)
+    return _apply_ba_core(state, res.R, res.t, res.X[:P], n_bad, ring,
+                          kf_ok, cfg, gen0)
 
 
 def _apply_ba_core(state: SlamState, R_res, t_res, X_res, n_bad, ring,
