@@ -72,6 +72,61 @@ def main():
     fps = n_iters / dt
     baseline_fps = 15.0
 
+    # Engine frames/s: the FULL CoSlamEngine per-frame path end-to-end
+    # (fused core + host cadence: classification, budget-triggered
+    # inter-camera mapping, registration, keyframes, async windowed BA)
+    # on a rendered synthetic 3-camera scene at production shape. This is
+    # the number a user of the engine actually gets, tunnel latency and
+    # all — the core-step fps above is the device-compute ceiling.
+    engine_fps = None
+    engine_overlap_fps = None
+    elapsed = time.perf_counter() - _T_START
+    if elapsed < 360.0:
+        try:
+            from coslam_tpu.io.synthetic import (make_room,
+                                                 orbit_trajectory,
+                                                 render_sequence,
+                                                 multi_cam_rig)
+            from coslam_tpu.slam.pipeline import CoSlamEngine
+            F = 36
+            planes = make_room(rng, size=10.0)
+            Rr, tr = orbit_trajectory(F, forward=0.05)
+            rot_c, offs_c = multi_cam_rig(C, baseline=1.0)
+            Kb = np.broadcast_to(
+                np.array([[500.0, 0, W / 2], [0, 500.0, H / 2], [0, 0, 1]],
+                         np.float32), (C, 3, 3)).copy()
+            frames = np.zeros((F, C, H, W), np.float32)
+            for f in range(F):
+                c_rig = -Rr[f].T @ tr[f]
+                for c in range(C):
+                    center = c_rig + Rr[f].T @ offs_c[c]
+                    Rc = rot_c[c] @ Rr[f]
+                    frames[f, c] = np.asarray(render_sequence(
+                        planes, Kb[c], Rc[None], (-Rc @ center)[None],
+                        H, W)[0])
+            frames = np.clip(frames, 0, 255).astype(np.uint8)  # video-like
+            eng = CoSlamEngine(cfg, Kb, np.zeros((C, 5), np.float32))
+            warm = 24                     # compiles + bootstrap + first BA
+            for f in range(warm):
+                eng.process_frame(frames[f])
+            t0 = time.perf_counter()
+            for f in range(warm, F):
+                eng.process_frame(frames[f])
+            engine_fps = (F - warm) / (time.perf_counter() - t0)
+            # overlapped-stats mode: the per-frame stats readback rides
+            # behind the next frame's compute (compiles already cached)
+            eng2 = CoSlamEngine(cfg, Kb, np.zeros((C, 5), np.float32),
+                                overlap=True)
+            for f in range(warm):
+                eng2.process_frame(frames[f])
+            t0 = time.perf_counter()
+            for f in range(warm, F):
+                eng2.process_frame(frames[f])
+            engine_overlap_fps = (F - warm) / (time.perf_counter() - t0)
+        except Exception as e:          # engine bench must never kill the
+            import sys                  # primary metric
+            print(f"engine bench failed: {e!r}", file=sys.stderr)
+
     # BA throughput: a production-shaped window (5 keyframes x 3 cameras,
     # 2048 points, ~6k observations), LM iterations per second.
     # NOTE: every executable recompiles per process on the tunneled TPU
@@ -127,6 +182,13 @@ def main():
         "vs_baseline": round(fps / baseline_fps, 2),
         "ba_problem": "15 cams x 2048 pts x 6144 obs",
     }
+    if engine_fps is not None:
+        out["engine_frames_per_s"] = round(engine_fps, 2)
+        out["engine_vs_baseline"] = round(engine_fps / baseline_fps, 2)
+    if engine_overlap_fps is not None:
+        out["engine_overlap_frames_per_s"] = round(engine_overlap_fps, 2)
+        out["engine_overlap_vs_baseline"] = round(
+            engine_overlap_fps / baseline_fps, 2)
     if ba_iters_s is not None:
         out["ba_lm_iters_per_s"] = round(ba_iters_s, 1)
     print(json.dumps(out))

@@ -105,13 +105,16 @@ class ClassifyOut(NamedTuple):
 
 
 def _windowed_static_err(state: SlamState, K: jnp.ndarray,
-                         slot: jnp.ndarray, cfg: SlamConfig):
+                         cfg: SlamConfig):
     """The isStaticPoint frame-window test (SL_CoSLAMHelper.cpp:253-315):
     reproject each point's STORED position against its feature's history
     observations at the historic poses, over the last
     ``classify_frame_window`` frames (clamped to the history-ring span).
-    Returns (n_checks [P], n_consistent [P]). Lane-major: P on lanes,
-    [T, P] blocks per camera."""
+    Returns (n_checks [P], n_consistent [P]).
+
+    Feature-major: the window errors are computed on [T, N] blocks (the
+    history's native layout — no N->P gather amplification) and the
+    per-feature counts scatter-add onto their bound points."""
     tracks, mappts = state.tracks, state.mappts
     C, T, N = tracks.hist_valid.shape
     P = mappts.xyz.shape[0]
@@ -123,35 +126,36 @@ def _windowed_static_err(state: SlamState, K: jnp.ndarray,
     ring = jnp.mod(past_frame, T)
     in_win = (k_off >= 1) & (k_off <= W)
     gate = p.max_epi_err
-    Xs = [mappts.xyz[:, i] for i in range(3)]              # 3 x [P]
-    dt = mappts.xyz.dtype
     n_checks = jnp.zeros((P,), jnp.int32)
     n_cons = jnp.zeros((P,), jnp.int32)
     fx, fy = K[:, 0, 0], K[:, 1, 1]
     cx, cy = K[:, 0, 2], K[:, 1, 2]
     for c in range(C):
-        sl = jnp.clip(slot[:, c], 0)                       # [P]
-        bound = slot[:, c] >= 0
+        mi = jnp.clip(tracks.mpt[c], 0)                    # [N]
+        bound = tracks.valid[c] & (tracks.mpt[c] >= 0)
+        Xf = mappts.xyz[mi]                                # [N, 3]
+        Xs = [Xf[:, i] for i in range(3)]
         hpos = jnp.take(tracks.hist[c], ring, axis=0)      # [T, N, 2]
         hok = jnp.take(tracks.hist_valid[c], ring, axis=0)  # [T, N]
-        hx = hpos[:, :, 0][:, sl]                          # [T, P]
-        hy = hpos[:, :, 1][:, sl]
-        ages = jnp.minimum(tracks.age[c, sl] - 1, T - 1)   # [P]
-        ok = hok[:, sl] & bound[None, :] & in_win[:, None] & \
+        ages = jnp.minimum(tracks.age[c] - 1, T - 1)       # [N]
+        ok = hok & bound[None, :] & in_win[:, None] & \
             (k_off[:, None] <= ages[None, :]) & (past_frame[:, None] >= 0)
         Rp = jnp.take(state.pose_hist_R[c], ring, axis=0)  # [T, 3, 3]
         tp = jnp.take(state.pose_hist_t[c], ring, axis=0)  # [T, 3]
         Xc = [Rp[:, i, 0, None] * Xs[0][None] + Rp[:, i, 1, None] * Xs[1][None]
               + Rp[:, i, 2, None] * Xs[2][None] + tp[:, i, None]
-              for i in range(3)]                            # 3 x [T, P]
+              for i in range(3)]                            # 3 x [T, N]
         z = Xc[2]
         zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
-        du = fx[c] * Xc[0] * zi + cx[c] - hx
-        dv = fy[c] * Xc[1] * zi + cy[c] - hy
+        du = fx[c] * Xc[0] * zi + cx[c] - hpos[:, :, 0]
+        dv = fy[c] * Xc[1] * zi + cy[c] - hpos[:, :, 1]
         e2 = du * du + dv * dv
         good = ok & (z > 1e-3) & (e2 < gate * gate)
-        n_checks = n_checks + jnp.sum(ok, axis=0)
-        n_cons = n_cons + jnp.sum(good, axis=0)
+        tgt = jnp.where(bound, tracks.mpt[c], P)
+        n_checks = n_checks.at[tgt].add(
+            jnp.sum(ok, axis=0, dtype=jnp.int32), mode="drop")
+        n_cons = n_cons.at[tgt].add(
+            jnp.sum(good, axis=0, dtype=jnp.int32), mode="drop")
     return n_checks, n_cons
 
 
@@ -233,7 +237,7 @@ def classify_map_points(state: SlamState, K: jnp.ndarray,
     # classify_frame_window frames): stored position must keep explaining
     # the feature history; a fraction test so one glitched historic pose
     # doesn't condemn the whole map
-    n_chk, n_con = _windowed_static_err(state, K, slot, cfg)
+    n_chk, n_con = _windowed_static_err(state, K, cfg)
     win_fail = alive & is_staticp & (n_chk >= 4) & \
         (n_con.astype(dt) < 0.75 * n_chk.astype(dt))
     # isStaticRemovable (drop one outlier view): a static point failing
@@ -241,12 +245,22 @@ def classify_map_points(state: SlamState, K: jnp.ndarray,
     # (occlusion boundary, feature mismatch) — re-triangulate with each
     # view dropped; if the remaining views agree, detach that view and
     # keep the point static (SL_CoSLAMHelper.cpp:253-315)
-    suspect = alive & is_staticp & (nv >= 3) & (win_fail | ~tri_ok)
     # only the WORST stored-reprojection view may be dropped: any two
     # remaining rays triangulate near-perfectly, so "first view whose
     # removal works" would happily detach a good view and keep the bad one
     es_stack = jnp.stack(es_all)                           # [C, P]
-    worst_view = jnp.argmax(jnp.where(okT, es_stack, -jnp.inf), axis=0)
+    es_masked = jnp.where(okT, es_stack, -jnp.inf)
+    worst_view = jnp.argmax(es_masked, axis=0)
+    # ...and the rescue only applies to SINGLE-view corruption: the other
+    # views must still explain the stored position. A moving object makes
+    # every view's stored error large (the stored position is stale for
+    # all of them) — rescuing it would eat the moved->dynamic transition.
+    es_rest = jnp.where(jnp.arange(C)[:, None] == worst_view[None, :],
+                        -jnp.inf, es_masked)
+    second_worst = jnp.max(es_rest, axis=0)
+    one_view_bad = second_worst < p.max_epi_err
+    suspect = alive & is_staticp & (nv >= 3) & (win_fail | ~tri_ok) & \
+        one_view_bad
     save_any = jnp.zeros((P,), bool)
     detach_cam = jnp.zeros((P,), jnp.int32)
     X_saved = [jnp.zeros((P,), dt) for _ in range(3)]

@@ -33,6 +33,11 @@ class FrameStats(NamedTuple):
     n_tracked: jnp.ndarray   # [C]
     n_static: jnp.ndarray    # scalar (0 for mono: classify is multicam)
     n_dynamic: jnp.ndarray   # scalar
+    n_mapped: jnp.ndarray    # [C] tracked features bound to map points
+                             # (drives the n_max_map_pts mapping trigger)
+    R: jnp.ndarray           # [C, 3, 3] post-step poses: shipping them in
+    t: jnp.ndarray           # [C, 3]    the stats transfer saves the
+                             # per-frame pose readback (a full tunnel RTT)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
@@ -41,6 +46,8 @@ def frame_step(state: SlamState, pyr_prev, imgs_cur: jnp.ndarray,
     """One tracked frame: track -> pose -> refine -> map. Returns
     (state', pyr_cur, FrameStats). The previous frame's pyramid is carried
     between calls (building it once per frame, not twice)."""
+    if imgs_cur.dtype != jnp.float32:     # uint8 frames upload 4x smaller
+        imgs_cur = imgs_cur.astype(jnp.float32)
     pyr_cur = build_pyramid(imgs_cur, cfg.klt.n_levels)
     img_hw = (imgs_cur.shape[1], imgs_cur.shape[2])
     tracks = steps.advance_tracks(pyr_prev, pyr_cur, state.tracks, K, kc,
@@ -63,10 +70,13 @@ def frame_step(state: SlamState, pyr_prev, imgs_cur: jnp.ndarray,
         n_static = jnp.zeros((), jnp.int32)
         n_dynamic = jnp.zeros((), jnp.int32)
     mappts, tracks2, n_new = steps.new_map_points(state, pyr_cur, K, kc, cfg)
+    mappts = steps.lifecycle_update(mappts, state.frame, cfg)
     state = state._replace(mappts=mappts, tracks=tracks2)
     stats = FrameStats(
         n_inliers=out.n_inliers, coverage=out.coverage,
         med_depth=out.med_depth, med_err=out.med_err,
         n_new_points=n_new, n_tracked=jnp.sum(tracks2.valid, axis=1),
-        n_static=n_static, n_dynamic=n_dynamic)
+        n_static=n_static, n_dynamic=n_dynamic,
+        n_mapped=jnp.sum(tracks2.valid & (tracks2.mpt >= 0), axis=1),
+        R=state.R, t=state.t)
     return state, pyr_cur, stats

@@ -74,6 +74,17 @@ def camera_grouping(state: SlamState, cfg: SlamConfig,
     return gid
 
 
+def group_camera_tuples(group_id: np.ndarray) -> list[tuple[int, ...]]:
+    """Ordered camera tuples per group with >= 2 cameras (the unit of
+    multi-view inter-camera mapping)."""
+    out = []
+    for g in np.unique(group_id):
+        cams = tuple(int(c) for c in np.nonzero(group_id == g)[0])
+        if len(cams) >= 2:
+            out.append(cams)
+    return out
+
+
 def group_adjacent_pairs(group_id: np.ndarray) -> list[tuple[int, int]]:
     """Adjacent camera pairs within each group (inter-camera mapping runs
     pairwise along the group order, SL_NewMapPointsInterCam.cpp:98-148)."""

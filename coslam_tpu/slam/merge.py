@@ -45,6 +45,43 @@ class MergeCandidate(NamedTuple):
     overlap: int
 
 
+from functools import partial as _jit_partial
+
+
+@_jit_partial(jax.jit, static_argnames=("h", "w", "dormant_age"))
+def scan_candidates_device(state: SlamState, K: jnp.ndarray,
+                           h: int, w: int, dormant_age: int):
+    """Small device-side reduction feeding the merge/loop candidate scans.
+
+    Pulling the whole map (xyz/status/owner/...) to host every few frames
+    costs multiple multi-ms transfers over the TPU tunnel; this computes
+    the cheap superset tests on device and transfers only [C, C] + [C] +
+    [C] scalars. Returns:
+      merge_counts [C, C]: alive static points owned by camera j
+                           projecting inside camera i's image
+      alive_per_owner [C]: alive static points per owner camera
+      dormant_counts [C]:  dormant (unseen >= dormant_age) alive static
+                           points projecting inside each camera
+    """
+    mp = state.mappts
+    C = state.R.shape[0]
+    alive = (mp.status == ST_ALIVE) & (mp.ptype == PT_STATIC)
+    Xc = jnp.einsum("cij,pj->cpi", state.R, mp.xyz) + state.t[:, None, :]
+    z = Xc[..., 2]
+    zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = Xc[..., 0] * zi * K[:, 0, 0, None] + K[:, 0, 2, None]
+    v = Xc[..., 1] * zi * K[:, 1, 1, None] + K[:, 1, 2, None]
+    inside = alive[None] & (z > 1e-3) & (u >= 0) & (u < w) & \
+        (v >= 0) & (v < h)
+    own = jax.nn.one_hot(jnp.clip(mp.owner, 0, C - 1), C,
+                         dtype=jnp.float32) * alive[:, None].astype(
+                             jnp.float32)
+    merge_counts = jnp.dot(inside.astype(jnp.float32), own)
+    dormant = alive & (state.frame - mp.last_obs >= dormant_age)
+    dormant_counts = jnp.sum(inside & dormant[None], axis=1)
+    return merge_counts, jnp.sum(own, axis=0), dormant_counts
+
+
 def find_merge_candidates(state: SlamState, cfg: SlamConfig,
                           group_id: np.ndarray) -> list[MergeCandidate]:
     """checkPossibleMergable: for cameras in different groups, count each
@@ -111,7 +148,12 @@ def merge_candidates(state: SlamState, cfg: SlamConfig, K: np.ndarray,
              for c in range(cfg.num_cameras)]
     for (a, b, Xc, ok) in find_merge_candidates(state, cfg, group_id):
         n = projected_overlap(K[a], Xc, ok, h, w, feat_hull=hulls[a])
-        if n >= cfg.p.merge_overlap_min:
+        # absolute floor OR fraction of the other group's candidate points
+        # (checkPossibleMergable's ">=50 inliers or >=ratio" test,
+        # SL_MergeCameraGroup.cpp:56-177)
+        n_cand = int(ok.sum())
+        if n >= cfg.p.merge_overlap_min or \
+                (n_cand > 0 and n / n_cand >= cfg.p.merge_overlap_ratio):
             cands.append(MergeCandidate(cam_a=a, cam_b=b, overlap=n))
     cands.sort(key=lambda c: -c.overlap)
     return cands
@@ -404,11 +446,13 @@ def apply_group_transform(state: SlamState, cfg: SlamConfig,
 
 def fuse_duplicate_points(state: SlamState, cfg: SlamConfig,
                           group_id: np.ndarray, cand: MergeCandidate,
-                          dist_thresh: float = 0.5) -> SlamState:
+                          rel_thresh: float = 0.05) -> SlamState:
     """After realignment, points from the two groups describing the same
     structure are fused (checkMergeMapPoints/mergeMapPoints): the moving
     group's duplicate goes false (its features re-register onto the
-    surviving point next frame)."""
+    surviving point next frame). The distance gate is depth-relative
+    (``rel_thresh`` x owner-camera depth) so fusion aggressiveness does
+    not depend on the arbitrary bootstrap scale."""
     mp = state.mappts
     alive = np.asarray((mp.status == ST_ALIVE) & (mp.ptype == PT_STATIC))
     owner = np.asarray(mp.owner)
@@ -418,15 +462,24 @@ def fuse_duplicate_points(state: SlamState, cfg: SlamConfig,
     ib = np.nonzero(alive & (grp == gb))[0]
     if len(ia) == 0 or len(ib) == 0:
         return state
-    Xa = np.asarray(mp.xyz)[ia]
-    Xb = np.asarray(mp.xyz)[ib]
+    xyz_np = np.asarray(mp.xyz)
+    R_np = np.asarray(state.R)
+    t_np = np.asarray(state.t)
+    own_c = np.clip(owner, 0, cfg.num_cameras - 1)
+    depth = np.einsum("pj,pj->p", R_np[own_c][:, 2, :], xyz_np) \
+        + t_np[own_c][:, 2]
+    depth = np.where(depth > 1e-3, depth, 1e-3)
+    Xa = xyz_np[ia]
+    Xb = xyz_np[ib]
     # nearest-neighbor fuse; chunked so a full-capacity map can't blow up
     # host memory with an A x B distance matrix
     dup_mask = np.zeros(len(ib), bool)
     for s in range(0, len(ib), 512):
         blk = Xb[s:s + 512]
         d = np.linalg.norm(Xa[:, None] - blk[None, :], axis=-1)
-        dup_mask[s:s + 512] = d.min(axis=0) < dist_thresh
+        thr = rel_thresh * np.minimum(depth[ia][:, None],
+                                      depth[ib[s:s + 512]][None, :])
+        dup_mask[s:s + 512] = (d < thr).any(axis=0)
     dup_b = ib[dup_mask]
     if len(dup_b) == 0:
         return state
@@ -435,49 +488,73 @@ def fuse_duplicate_points(state: SlamState, cfg: SlamConfig,
     return state._replace(mappts=mp._replace(status=jnp.asarray(status)))
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("rel_thresh", "block"))
+def _fuse_close_kill_mask(mappts, R: jnp.ndarray, t: jnp.ndarray,
+                          rel_thresh: float = 0.025,
+                          block: int = 512) -> jnp.ndarray:
+    """[P] kill mask for duplicate unification, fully on device.
+
+    A point j dies when some strictly-older (first_frame, then index)
+    alive static point i sits within ``rel_thresh`` x min(depth_i,
+    depth_j) of it AND their stored appearances agree (NCC >= 0.8 in some
+    camera both hold a block for). Depth-relative distance makes the gate
+    scale-free: the map's unit is arbitrary (anchored at bootstrap_depth),
+    so a world-unit threshold would silently change fusion aggressiveness
+    with the bootstrap scale. Blocked [block, P] sweeps: pairwise
+    distances on the VPU, per-camera appearance agreement as MXU matmuls.
+    (One pass: a point killed via a chain a<b<c may take c with it even
+    though b dies too — the survivors re-acquire those features, same as
+    the reference's sequential greedy refineMapPoint order effects.)"""
+    P = mappts.xyz.shape[0]
+    C = R.shape[0]
+    alive = (mappts.status == ST_ALIVE) & (mappts.ptype == PT_STATIC)
+    own = jnp.clip(mappts.owner, 0, C - 1)
+    Ro = R[own]
+    to = t[own]
+    depth = jnp.einsum("pj,pj->p", Ro[:, 2, :], mappts.xyz) + to[:, 2]
+    depth = jnp.where(depth > 1e-3, depth, 1e-3)
+    X = mappts.xyz
+    ff = mappts.first_frame
+    idx = jnp.arange(P)
+    kill = jnp.zeros((P,), bool)
+    for s in range(0, P, block):
+        e = min(s + block, P)
+        Xb = X[s:e]
+        d2 = sum((Xb[:, None, k] - X[None, :, k]) ** 2 for k in range(3))
+        thr = rel_thresh * jnp.minimum(depth[s:e, None], depth[None, :])
+        close = d2 < thr * thr
+        sim = jnp.full((e - s, P), -jnp.inf, X.dtype)
+        for c in range(C):
+            simc = jnp.dot(mappts.ncc[s:e, c], mappts.ncc[:, c].T,
+                           preferred_element_type=jnp.float32)
+            both = mappts.ncc_valid[s:e, c, None] & \
+                mappts.ncc_valid[None, :, c]
+            sim = jnp.maximum(sim, jnp.where(both, simc, -jnp.inf))
+        gi = idx[s:e]
+        older = (ff[s:e, None] < ff[None, :]) | \
+            ((ff[s:e, None] == ff[None, :]) & (gi[:, None] < idx[None, :]))
+        killer = close & (sim >= 0.8) & alive[s:e, None] & alive[None, :] \
+            & older
+        kill = kill | jnp.any(killer, axis=0)
+    return kill
+
+
 def fuse_close_points(state: SlamState, cfg: SlamConfig,
-                      dist_thresh: float = 0.25) -> tuple[SlamState, int]:
+                      rel_thresh: float = 0.025) -> tuple[SlamState, int]:
     """Periodic global duplicate unification (checkUnify/refineMapPoint,
     SL_CoSLAM.cpp:561-714, run by currentMapPointsRegister every 50th
-    frame): alive static points closer than ``dist_thresh`` collapse to
-    the older slot; the newer slot goes false and its features re-register
-    onto the survivor in later frames."""
+    frame): alive static points closer than ``rel_thresh`` x depth with
+    agreeing appearance collapse to the older slot; the newer slot goes
+    false and its features re-register onto the survivor in later frames.
+    Device-side (one scalar readback); see _fuse_close_kill_mask."""
     mp = state.mappts
-    alive = np.asarray((mp.status == ST_ALIVE) & (mp.ptype == PT_STATIC))
-    idx = np.nonzero(alive)[0]
-    if len(idx) < 2:
-        return state, 0
-    X = np.asarray(mp.xyz)[idx]
-    ff = np.asarray(mp.first_frame)[idx]
-    ncc = np.asarray(mp.ncc)[idx]            # [n, C, B] pre-normalized
-    ncc_ok = np.asarray(mp.ncc_valid)[idx]
-    kill = np.zeros(len(idx), bool)
-    for s0 in range(0, len(idx), 512):
-        blk = slice(s0, min(s0 + 512, len(idx)))
-        d = np.linalg.norm(X[blk][:, None] - X[None, :], axis=-1)
-        for bi, gi in enumerate(range(blk.start, blk.stop)):
-            close = np.nonzero(d[bi] < dist_thresh)[0]
-            for cj in close:
-                if cj == gi or kill[gi] or kill[cj]:
-                    continue
-                # only fuse when the stored appearances agree (checkUnify
-                # matches NCC blocks; pure proximity would eat legitimate
-                # close-by structure)
-                both = ncc_ok[gi] & ncc_ok[cj]
-                if not both.any():
-                    continue
-                score = max(float(np.dot(ncc[gi, c], ncc[cj, c]))
-                            for c in np.nonzero(both)[0])
-                if score < 0.8:
-                    continue
-                # keep the older point (established geometry)
-                if ff[gi] <= ff[cj]:
-                    kill[cj] = True
-                else:
-                    kill[gi] = True
-    n = int(kill.sum())
+    kill = _fuse_close_kill_mask(mp, state.R, state.t,
+                                 rel_thresh=rel_thresh)
+    n = int(jnp.sum(kill))
     if n == 0:
         return state, 0
-    status = np.asarray(mp.status).copy()
-    status[idx[kill]] = ST_FALSE
-    return state._replace(mappts=mp._replace(status=jnp.asarray(status))), n
+    status = jnp.where(kill, ST_FALSE, mp.status)
+    return state._replace(mappts=mp._replace(status=status)), n

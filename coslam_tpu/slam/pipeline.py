@@ -49,7 +49,7 @@ class CoSlamEngine:
     def __init__(self, cfg: SlamConfig, K: np.ndarray, kc: np.ndarray,
                  profile: bool = False, log_features: bool = False,
                  use_fused: bool = True, async_ba: bool = False,
-                 ba_device=None):
+                 ba_device=None, overlap: bool = False):
         self.cfg = cfg
         self.profile = profile
         # async_ba: the reference runs windowed BA in a worker thread
@@ -59,9 +59,24 @@ class CoSlamEngine:
         # tracking, and apply the result a few frames later with
         # generation-guarded write-back; a group merge cancels the
         # in-flight result (the bCancelBA flag, SL_CoSLAM.cpp:1402,1719).
+        # MEASURED default False: the synchronous path never blocks the
+        # host either (solve + write-back are dispatches, no readback), so
+        # on a single chip async only delays the correction (~1 keyframe
+        # of extra drift) for zero wall-clock win; it pays off only with a
+        # spare ``ba_device`` to run the solve off the tracking chip.
         self.async_ba = async_ba
         self.ba_device = ba_device
         self._pending_ba: Optional[dict] = None
+        # overlap: pipeline the per-frame stats readback — frame f's stats
+        # start copying to host asynchronously while frame f+1's fused
+        # step computes, so the host cadence never waits a full tunnel
+        # round trip. Cadence decisions then act on one-frame-old stats
+        # (the reference's async threads have the same property).
+        self.overlap = overlap
+        self._pending_fs = None
+        import jax as _jax
+        self._fs_copy = _jax.jit(
+            lambda x: _jax.tree_util.tree_map(jnp.copy, x))
         # one fused device call for the per-frame core (tracking, pose,
         # classification, mapping) instead of ~6 dispatches — significant
         # when host<->device round trips are expensive
@@ -70,6 +85,9 @@ class CoSlamEngine:
         self.feat_log: list[tuple] = []    # (frame, cam, ids, xy)
         self.timing: dict[str, float] = {}
         C = cfg.num_cameras
+        assert C <= cfg.cap.max_cameras, \
+            f"{C} cameras > cap.max_cameras={cfg.cap.max_cameras} " \
+            "(SLAM_MAX_NUM, SL_Define.h:11)"
         assert K.shape == (C, 3, 3)
         self.K = jnp.asarray(K, jnp.float32)
         self.kc = jnp.asarray(kc, jnp.float32)
@@ -86,6 +104,7 @@ class CoSlamEngine:
         self.group_id = np.zeros(C, np.int32)
         self.dyn_log: list[tuple] = []   # (frame, ids, xyz) dynamic snapshots
         self._last_merge = 0
+        self._last_intercam = -10**9
         self._split_pending = None   # grouping-split hysteresis (see below)
         self.group_hist: list[tuple] = []   # per-frame group ids (for f_sep)
         self.merge_log: list[dict] = []
@@ -94,6 +113,8 @@ class CoSlamEngine:
         self.loop_log: list[dict] = []   # committed loop closures
         self._last_closure = 0
         self._last_loop_attempt = -10**9
+        self._scan_frame = -1            # device candidate-scan cache
+        self._scan_cache = None
 
     # ------------------------------------------------------------------
     @property
@@ -122,15 +143,33 @@ class CoSlamEngine:
         cfg = self.cfg
         t0 = time.perf_counter()
         self._pose_host_cache = None   # state.R/t will change this frame
-        imgs = jnp.asarray(images, jnp.float32)
+        # keep uint8 input as uint8 for the transfer (4x less tunnel
+        # bandwidth); the fused step casts on device
+        imgs = jnp.asarray(images)
+        if imgs.dtype not in (jnp.float32, jnp.uint8):
+            imgs = jnp.asarray(images, jnp.float32)
         if self.bootstrapped and self.use_fused and self.frame > 0:
             from coslam_tpu.slam.fused import frame_step
             self.state, pyr, fs = frame_step(self.state, self.pyr_prev,
                                              imgs, self.K, self.kc, cfg)
             t0 = self._tick("core_fused", t0)
             stats = {"frame": self.frame}
-            stats.update(self._host_cadence(pyr, fs))
-            self._record_pose()
+            if self.overlap:
+                # snapshot the stats into fresh buffers (the live ones
+                # alias state and die with the next donation), start the
+                # host copy, and run the cadence on LAST frame's stats —
+                # by now their transfer has finished, so no RTT stall
+                fs_c = self._fs_copy(fs)
+                for leaf in jax.tree_util.tree_leaves(fs_c):
+                    leaf.copy_to_host_async()
+                prev = self._pending_fs
+                self._pending_fs = fs_c
+                if prev is not None:
+                    stats.update(self._host_cadence(pyr, prev))
+                    self._record_pose()
+            else:
+                stats.update(self._host_cadence(pyr, fs))
+                self._record_pose()
             if self.log_features:
                 self._log_features()
             self.pyr_prev = pyr
@@ -139,6 +178,8 @@ class CoSlamEngine:
             stats.setdefault("n_inliers", np.zeros(cfg.num_cameras))
             self.stats_log.append(stats)
             return stats
+        if imgs.dtype != jnp.float32:
+            imgs = imgs.astype(jnp.float32)
         pyr = build_pyramid(imgs, cfg.klt.n_levels)
         t0 = self._tick("pyramid", t0)
         stats = {"frame": self.frame}
@@ -335,8 +376,10 @@ class CoSlamEngine:
         t0 = time.perf_counter()
         self._poll_ba()
         # ONE host transfer for all per-frame scalars (each np.asarray is a
-        # separate device round trip — ~27 ms each over the TPU tunnel)
+        # separate device round trip — ~27 ms each over the TPU tunnel);
+        # the post-step poses ride along so _record_pose costs nothing
         fs = jax.device_get(fs)
+        self._pose_host_cache = (np.asarray(fs.R), np.asarray(fs.t))
         n_inl = np.asarray(fs.n_inliers)
         cover = np.asarray(fs.coverage)
         joint = False
@@ -362,18 +405,7 @@ class CoSlamEngine:
                 self._try_merge(pyr)
         if self.frame % GROUPING_INTERVAL == 0:
             self._try_loop_closure(pyr)
-        n_inter = 0
-        if C > 1 and (self.frame % p.intercam_map_interval == 0):
-            from coslam_tpu.slam.grouping import group_adjacent_pairs
-            from coslam_tpu.slam.intercam import (intercam_map_pair,
-                                                  register_map_points)
-            for (a, b) in group_adjacent_pairs(self.group_id):
-                mp, tr, nn = intercam_map_pair(self.state, pyr, self.K,
-                                               self.kc, a, b, cfg)
-                self.state = self.state._replace(mappts=mp, tracks=tr)
-                n_inter += int(nn)
-            self.state, n_reg = register_map_points(
-                self.state, pyr, self.K, cfg, max_age=p.num_act_frames)
+        n_inter = self._intercam_cadence(pyr, np.asarray(fs.n_mapped), n_inl)
         t0 = self._tick("host_cadence", t0)
         stats = {
             "n_inliers": n_inl,
@@ -398,6 +430,10 @@ class CoSlamEngine:
             self._kf_pose_host = self._pose_host()
             if (len(self.kf_frames) % cfg.p.ba_cadence) == 0:
                 self._run_ba()
+                # if the solve already finished (small problems, fast
+                # chip), apply it this frame — async costs nothing in
+                # accuracy when the result beats the next frame anyway
+                self._poll_ba()
                 t0 = self._tick("ba", t0)
             stats["keyframe"] = True
         if self.frame > 0 and self.frame % 50 == 0:
@@ -405,9 +441,7 @@ class CoSlamEngine:
             self.state, n_fused = fuse_close_points(self.state, cfg)
             if n_fused:
                 stats["n_fused"] = n_fused
-        self.state = self.state._replace(
-            mappts=steps.lifecycle_update(self.state.mappts,
-                                          self.state.frame, cfg))
+        # lifecycle reclamation runs inside the fused step (next frame)
         return stats
 
     # ------------------------------------------------------------------
@@ -465,19 +499,9 @@ class CoSlamEngine:
         t0 = self._tick("new_map_points", t0)
         if self.frame % GROUPING_INTERVAL == 0:
             self._try_loop_closure(pyr)
-        n_inter = 0
-        if C > 1 and (self.frame % p.intercam_map_interval == 0):
-            from coslam_tpu.slam.grouping import group_adjacent_pairs
-            from coslam_tpu.slam.intercam import (intercam_map_pair,
-                                                  register_map_points)
-            for (a, b) in group_adjacent_pairs(self.group_id):
-                mp, tr, nn = intercam_map_pair(self.state, pyr, self.K,
-                                               self.kc, a, b, cfg)
-                self.state = self.state._replace(mappts=mp, tracks=tr)
-                n_inter += int(nn)
-            self.state, n_reg = register_map_points(self.state, pyr, self.K,
-                                                    cfg,
-                                                    max_age=p.num_act_frames)
+        n_mapped = np.asarray(jnp.sum(
+            self.state.tracks.valid & (self.state.tracks.mpt >= 0), axis=1))
+        n_inter = self._intercam_cadence(pyr, n_mapped, n_inl)
         t0 = self._tick("intercam+register", t0)
         stats = {
             "n_inliers": n_inl,
@@ -499,6 +523,10 @@ class CoSlamEngine:
             self._kf_pose_host = self._pose_host()
             if (len(self.kf_frames) % cfg.p.ba_cadence) == 0:
                 self._run_ba()
+                # if the solve already finished (small problems, fast
+                # chip), apply it this frame — async costs nothing in
+                # accuracy when the result beats the next frame anyway
+                self._poll_ba()
                 t0 = self._tick("ba", t0)
             stats["keyframe"] = True
         # periodic duplicate unification (currentMapPointsRegister merges
@@ -512,6 +540,41 @@ class CoSlamEngine:
             mappts=steps.lifecycle_update(self.state.mappts,
                                           self.state.frame, cfg))
         return stats
+
+    def _intercam_cadence(self, pyr, n_mapped: np.ndarray,
+                          n_inl: np.ndarray) -> int:
+        """Multi-view inter-camera mapping + registration.
+
+        Mapping is budget-triggered, not blind-cadence: it runs when the
+        in-view mapped-feature budget drops under ``n_max_map_pts`` (at
+        most every ``intercam_map_interval`` frames) or on an
+        inlier-count decrease — the reference's genNewMapPointsInterCam
+        trigger (SL_CoSLAM.cpp:1507-1539). Registration (re-acquiring
+        dormant points) keeps its own fixed cadence."""
+        cfg = self.cfg
+        p = cfg.p
+        C = cfg.num_cameras
+        if C <= 1:
+            return 0
+        from coslam_tpu.slam.grouping import group_camera_tuples
+        from coslam_tpu.slam.intercam import (intercam_map_group,
+                                              register_map_points)
+        n_inter = 0
+        since = self.frame - self._last_intercam
+        budget_low = int(n_mapped.sum()) < p.n_max_map_pts
+        decrease = bool(np.any(n_inl < 0.8 * np.maximum(self._kf_inliers,
+                                                        1)))
+        if (since >= p.intercam_map_interval and budget_low) or decrease:
+            for cams in group_camera_tuples(self.group_id):
+                mp, tr, nn = intercam_map_group(self.state, pyr, self.K,
+                                                self.kc, cams, cfg)
+                self.state = self.state._replace(mappts=mp, tracks=tr)
+                n_inter += int(nn)
+            self._last_intercam = self.frame
+        if self.frame % p.intercam_map_interval == 0:
+            self.state, _ = register_map_points(
+                self.state, pyr, self.K, cfg, max_age=p.num_act_frames)
+        return n_inter
 
     def _keyframe_ready(self, out) -> bool:
         cfg = self.cfg
@@ -543,14 +606,18 @@ class CoSlamEngine:
         return bool(decrease or np.any(trans > p.keyframe_trans_ratio)
                     or np.any(ang > p.keyframe_angle_deg))
 
-    def _run_ba(self):
+    def _run_ba(self, sync: bool = False):
+        """``sync=True`` forces immediate write-back even in async mode —
+        used by merge/loop-closure polish BAs, where the realigned state
+        must not run unpolished while a deferred result is in flight (the
+        reference cancels+reruns BA around merges for the same reason)."""
         cfg = self.cfg
         if self._pending_ba is not None:     # never two BAs in flight
             self._apply_pending_ba()
         # dense-table fast path (scatter-free, lane-major; ~17x the list
         # solver's LM iterations/s at the production window shape)
         prob, ring, kf_ok = steps.build_ba_table(self.state, self.K, cfg)
-        if self.async_ba:
+        if self.async_ba and not sync:
             solve_prob = prob
             if self.ba_device is not None:
                 solve_prob = jax.device_put(prob, self.ba_device)
@@ -559,7 +626,10 @@ class CoSlamEngine:
                                       inner_iter=cfg.p.ba_inner_iter)
             self._pending_ba = {
                 "res": res, "ring": ring, "kf_ok": kf_ok,
-                "gen0": self.state.mappts.gen, "frame": self.frame}
+                # COPY: frame_step donates the state, so holding the live
+                # gen array across frames would reference a deleted buffer
+                "gen0": jnp.copy(self.state.mappts.gen),
+                "frame": self.frame}
             return
         res = bundle_adjust_table(prob, max_err=cfg.p.max_err,
                                   max_iter=cfg.p.ba_max_iter,
@@ -599,12 +669,44 @@ class CoSlamEngine:
         against pre-merge geometry must be dropped (SL_CoSLAM.cpp:1402)."""
         self._pending_ba = None
 
+    def _candidate_scan(self):
+        """Per-frame cached device reduction for merge/loop candidate
+        prefilters (one small transfer instead of whole-map pulls)."""
+        if self._scan_frame == self.frame and self._scan_cache is not None:
+            return self._scan_cache
+        from coslam_tpu.slam.merge import scan_candidates_device
+        out = jax.device_get(scan_candidates_device(
+            self.state, self.K, self.cfg.image_height,
+            self.cfg.image_width, self.cfg.p.loop_dormant_age))
+        self._scan_cache = tuple(np.asarray(x) for x in out)
+        self._scan_frame = self.frame
+        return self._scan_cache
+
+    def _merge_possible(self) -> bool:
+        """Superset test of checkPossibleMergable from the device scan."""
+        mc, alive_own, _ = self._candidate_scan()
+        p = self.cfg.p
+        C = self.cfg.num_cameras
+        for a in range(C):
+            for g in np.unique(self.group_id):
+                if g == self.group_id[a]:
+                    continue
+                cams_g = self.group_id == g
+                cnt = float(mc[a, cams_g].sum())
+                n_own = float(alive_own[cams_g].sum())
+                if cnt >= p.merge_overlap_min or \
+                        (n_own > 0 and cnt / n_own >= p.merge_overlap_ratio):
+                    return True
+        return False
+
     def _try_merge(self, pyr):
         from coslam_tpu.slam.merge import (merge_candidates, merge_groups,
                                            fuse_duplicate_points,
                                            MergeCandidate)
         from coslam_tpu.slam.state import ST_ALIVE, PT_STATIC
         cfg = self.cfg
+        if not self._merge_possible():
+            return
         cands = merge_candidates(self.state, cfg, np.asarray(self.K),
                                  self.group_id)
         if not cands:
@@ -676,7 +778,7 @@ class CoSlamEngine:
             self.state = self.state._replace(kfs=steps.add_keyframe(self.state))
             self.kf_frames.append(self.frame)
             self._kf_pose_host = None
-            self._run_ba()
+            self._run_ba(sync=True)
 
     def _try_loop_closure(self, pyr):
         """Intra-group loop closure: when a camera's view re-covers its own
@@ -693,6 +795,11 @@ class CoSlamEngine:
             return
         if self.merge_log and self.frame - self.merge_log[-1]["frame"] <= 12:
             return   # settle window after a merge
+        # device prefilter: enough dormant points in SOME view (superset
+        # of the full hull-masked test — skips the host map pull)
+        _, _, dorm_counts = self._candidate_scan()
+        if dorm_counts.max(initial=0) < p.loop_overlap_min:
+            return
         from coslam_tpu.slam.loop import find_loop_candidates, close_loop
         cands = find_loop_candidates(self.state, cfg, np.asarray(self.K))
         if not cands:
@@ -715,7 +822,7 @@ class CoSlamEngine:
         # polish the realigned window with a BA at a fresh keyframe
         self.state = self.state._replace(kfs=steps.add_keyframe(self.state))
         self.kf_frames.append(self.frame)
-        self._run_ba()
+        self._run_ba(sync=True)
 
     def _update_grouping(self):
         """Recompute camera groups with SPLIT hysteresis: a proposal that
@@ -753,6 +860,16 @@ class CoSlamEngine:
         if len(ids):
             self.dyn_log.append((self.frame, ids, np.asarray(xyz)[dyn]))
 
+    def _flush_overlap(self):
+        """Drain the pending overlapped stats (records the final frame's
+        pose so the trajectory covers every processed frame)."""
+        if not self.overlap or self._pending_fs is None:
+            return
+        fs = jax.device_get(self._pending_fs)
+        self._pending_fs = None
+        self._pose_host_cache = (np.asarray(fs.R), np.asarray(fs.t))
+        self._record_pose()
+
     def _pose_host(self):
         """Current (R, t) as numpy, fetched once per state change.
 
@@ -789,6 +906,7 @@ class CoSlamEngine:
         rescaled the keyframe anchors, the raw relative translations of the
         drift window are still at the old scale — the per-segment scale
         lets the chain stretch to its anchors instead of distorting."""
+        self._flush_overlap()
         Rs = np.stack([p[0] for p in self.traj[c]])
         ts = np.stack([p[1] for p in self.traj[c]])
         if not correct or not self.kf_frames:
@@ -813,6 +931,12 @@ class CoSlamEngine:
             np.zeros((0, 3, 3), np.float32)
         t_rel = np.stack([r[1] for r in self.rel[c]]) if F > 1 else \
             np.zeros((0, 3), np.float32)
+        if F > 512:
+            # long runs: the dense 3Fx3F solve is cubic in run length;
+            # consecutive anchors decouple the chain — per-segment solves
+            from coslam_tpu.solvers.pose_graph import solve_chain_segments
+            return solve_chain_segments(R_rel, t_rel, fixed, fixed_R,
+                                        fixed_t, chain_scales=chain_scales)
         pg = chain_graph(jnp.asarray(R_rel), jnp.asarray(t_rel),
                          jnp.asarray(fixed), jnp.asarray(fixed_R),
                          jnp.asarray(fixed_t), jnp.ones(F, dtype=bool))

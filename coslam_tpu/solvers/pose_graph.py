@@ -171,3 +171,67 @@ def chain_graph(R_rel: jnp.ndarray, t_rel: jnp.ndarray,
         scale_group=jnp.full((E,), -1, dtype=jnp.int32),
         fixed=fixed, fixed_R=fixed_R, fixed_t=fixed_t,
         node_valid=node_valid)
+
+
+def solve_chain_segments(R_rel, t_rel, fixed, fixed_R, fixed_t,
+                         chain_scales: bool = False):
+    """Per-segment chain correction for LONG trajectories.
+
+    The export-time chain graph is a pure chain with hard anchors
+    (keyframes); consecutive anchors decouple it into independent
+    segments, so the one dense 3Fx3F solve (cubic in run length) is
+    replaced by per-segment solves padded to power-of-two buckets (a
+    handful of compiled sizes, O(F * s^2) total). The trailing stretch
+    after the last anchor has one pinned end only — pure rigid
+    propagation, no solve. Matches the dense solution up to the soft
+    anchor weight (anchors here are pinned exactly).
+
+    Inputs are numpy ([F-1,3,3], [F-1,3] relative edges k->k+1; [F]
+    anchor mask; [F,3,3]/[F,3] poses with anchor values at anchor rows).
+    With ``chain_scales`` every segment carries one unknown translation
+    scale (the uncertainScale mechanism over the export chain,
+    SL_GlobalPoseEstimation.cpp:283-335). Returns (R [F,3,3], t [F,3]).
+    """
+    import numpy as np
+    F = fixed.shape[0]
+    R_out = np.array(fixed_R, np.float32, copy=True)
+    t_out = np.array(fixed_t, np.float32, copy=True)
+    anchors = np.nonzero(fixed)[0]
+    if len(anchors) == 0 or F < 2:
+        return R_out, t_out
+    for k in range(len(anchors) - 1):
+        i0, i1 = int(anchors[k]), int(anchors[k + 1])
+        n = i1 - i0 + 1
+        if n <= 2:
+            continue                      # no interior nodes to correct
+        m = max(8, 1 << (n - 1).bit_length())
+        fx = np.zeros(m, bool)
+        fx[0] = fx[n - 1] = True
+        fR = np.tile(np.eye(3, dtype=np.float32), (m, 1, 1))
+        fT = np.zeros((m, 3), np.float32)
+        fR[0], fT[0] = fixed_R[i0], fixed_t[i0]
+        fR[n - 1], fT[n - 1] = fixed_R[i1], fixed_t[i1]
+        Rr = np.tile(np.eye(3, dtype=np.float32), (m - 1, 1, 1))
+        tr = np.zeros((m - 1, 3), np.float32)
+        Rr[: n - 1] = R_rel[i0:i1]
+        tr[: n - 1] = t_rel[i0:i1]
+        nv = np.arange(m) < n
+        pg = chain_graph(jnp.asarray(Rr), jnp.asarray(tr),
+                         jnp.asarray(fx), jnp.asarray(fR), jnp.asarray(fT),
+                         jnp.asarray(nv))
+        if chain_scales:
+            sg = np.where(np.arange(m - 1) < n - 1, 0, -1).astype(np.int32)
+            pg = pg._replace(scale_group=jnp.asarray(sg))
+        R_sol = solve_rotations(pg)
+        t_sol, _ = solve_translations(pg, R_sol, num_scales=1)
+        R_out[i0:i1 + 1] = np.asarray(R_sol)[:n]
+        t_out[i0:i1 + 1] = np.asarray(t_sol)[:n]
+        R_out[i0], t_out[i0] = fixed_R[i0], fixed_t[i0]
+        R_out[i1], t_out[i1] = fixed_R[i1], fixed_t[i1]
+    # trailing stretch: rigid composition from the last anchor
+    a = int(anchors[-1])
+    R_out[a], t_out[a] = fixed_R[a], fixed_t[a]
+    for f in range(a + 1, F):
+        R_out[f] = R_rel[f - 1] @ R_out[f - 1]
+        t_out[f] = t_rel[f - 1] + R_rel[f - 1] @ t_out[f - 1]
+    return R_out, t_out

@@ -83,6 +83,33 @@ def main():
         state = state._replace(mappts=mappts, tracks=tracks2)
         return state, pyr_cur
 
+    # --- speed-of-light estimates per stage -------------------------------
+    # v5e per chip: HBM ~819 GB/s, MXU ~197 bf16 TFLOP/s, VPU f32 ~ a few
+    # TFLOP/s. Every stage here is HBM- or VPU-bound (tiny matmuls), so the
+    # binding resource is bytes moved; the numbers below are the main-array
+    # traffic (reads+writes, f32) of each stage — a LOWER bound on time at
+    # peak bandwidth. Optimize against these ceilings, not against diffs.
+    HBM_BW = 819e9
+    N = cfg.cap.max_features
+    P = cfg.cap.max_map_points
+    T = 21                                  # history ring (history_len)
+    L = cfg.klt.n_levels
+    win = (2 * cfg.klt.window_radius + 1) ** 2
+    lvl_px = sum((H >> l) * (W >> l) for l in range(L))
+    sol_bytes = {
+        # read gray, write img+dx+dy per level (f32)
+        "pyramid": C * 4 * (H * W + 3 * lvl_px + 2 * lvl_px),
+        # per level+iter: read 2 windows (cur via resample ~2x) + write
+        "+advance_tracks": C * N * 4 * L * cfg.klt.n_iterations * win * 3,
+        # gating/refine: [C,N] component arrays, ~40 passes + cov gathers
+        "+pose_update": C * N * 4 * 40 + C * N * 9 * 4 * 2,
+        # F-matrix epipolar over [C,T,N]
+        "+dyn_detect": C * T * N * 4 * 8,
+        # classify: obs table + [T,P] windowed test + C^2 drop-one-view
+        "+classify": P * 4 * (10 + 2 * T) + C * C * P * 4 * 6,
+        # history-pair triangulation [C,T,N] ~ 30 component arrays
+        "+new_map_points": C * T * N * 4 * 30,
+    }
     names = ["pyramid", "+advance_tracks", "+pose_update", "+dyn_detect",
              "+classify", "+new_map_points"]
     prev = 0.0
@@ -95,7 +122,12 @@ def main():
             st, pyr = variant(st, pyr, upto)
         _ = np.asarray(st.R[0, 0])
         dt = (time.perf_counter() - t0) / n * 1e3
-        print(f"{name:22s} cum {dt:7.3f} ms   delta {dt - prev:7.3f} ms",
+        sol_ms = sol_bytes[name] / HBM_BW * 1e3
+        delta = dt - prev
+        eff = f"{100 * sol_ms / max(delta, 1e-9):5.1f}%" if delta > 0 \
+            else "  n/a"
+        print(f"{name:22s} cum {dt:7.3f} ms   delta {delta:7.3f} ms   "
+              f"SoL {sol_ms:6.3f} ms  ({eff} of bandwidth ceiling)",
               flush=True)
         prev = dt
 

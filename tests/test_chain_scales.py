@@ -51,3 +51,47 @@ def test_segment_scale_recovers_shrunken_chain():
     # the middle segment's scale is recovered (~2x to undo the half-scale)
     s = np.asarray(scales)
     assert abs(s[1] - 2.0) < 0.1, s
+
+
+def test_segmented_chain_matches_dense():
+    """solve_chain_segments == dense chain solve (up to the soft-anchor
+    weight) on a drifting chain with periodic anchors."""
+    import numpy as np
+    import jax.numpy as jnp
+    from coslam_tpu.geometry.se3 import so3_exp
+    from coslam_tpu.solvers.pose_graph import (chain_graph, solve_rotations,
+                                               solve_translations,
+                                               solve_chain_segments)
+    rng = np.random.default_rng(2)
+    F = 61
+    R_gt = np.zeros((F, 3, 3), np.float32)
+    t_gt = np.zeros((F, 3), np.float32)
+    R_gt[0] = np.eye(3)
+    for f in range(1, F):
+        w = 0.02 * rng.standard_normal(3).astype(np.float32)
+        dR = np.asarray(so3_exp(jnp.asarray(w)))
+        R_gt[f] = dR @ R_gt[f - 1]
+        t_gt[f] = t_gt[f - 1] + 0.1 * rng.standard_normal(3)
+    # noisy relative edges (drift)
+    R_rel = np.zeros((F - 1, 3, 3), np.float32)
+    t_rel = np.zeros((F - 1, 3), np.float32)
+    for f in range(F - 1):
+        nR = np.asarray(so3_exp(jnp.asarray(
+            0.01 * rng.standard_normal(3).astype(np.float32))))
+        R_rel[f] = nR @ R_gt[f + 1] @ R_gt[f].T
+        t_rel[f] = t_gt[f + 1] - R_rel[f] @ t_gt[f] \
+            + 0.01 * rng.standard_normal(3)
+    fixed = np.zeros(F, bool)
+    fixed[::7] = True
+    fixed[0] = fixed[-1] = True
+    fixed_R = R_gt.copy()
+    fixed_t = t_gt.copy()
+    pg = chain_graph(jnp.asarray(R_rel), jnp.asarray(t_rel),
+                     jnp.asarray(fixed), jnp.asarray(fixed_R),
+                     jnp.asarray(fixed_t), jnp.ones(F, bool))
+    R_d = np.asarray(solve_rotations(pg))
+    t_d, _ = solve_translations(pg, jnp.asarray(R_d), num_scales=1)
+    t_d = np.asarray(t_d)
+    R_s, t_s = solve_chain_segments(R_rel, t_rel, fixed, fixed_R, fixed_t)
+    assert np.abs(R_s - R_d).max() < 5e-3
+    assert np.abs(t_s - t_d).max() < 5e-3

@@ -135,10 +135,20 @@ def test_fuse_close_points_unit():
         xyz=jnp.asarray(xyz), status=jnp.asarray(status),
         ncc=jnp.asarray(ncc), ncc_valid=jnp.asarray(ncc_ok),
         first_frame=jnp.asarray(ff)))
-    st2, n = fuse_close_points(st, cfg, dist_thresh=0.25)
+    st2, n = fuse_close_points(st, cfg)
     status2 = np.asarray(st2.mappts.status)
     assert n == 1
     assert status2[0] == ST_ALIVE
     assert status2[1] != ST_ALIVE        # fused away
     assert status2[2] == ST_ALIVE        # different appearance survives
     assert status2[3] == ST_ALIVE
+    # scale invariance: the same scene bootstrapped at 7x the depth makes
+    # IDENTICAL fusion decisions (the gate is depth-relative, not
+    # world-unit)
+    s = 7.0
+    st_s = st._replace(
+        mappts=st.mappts._replace(xyz=st.mappts.xyz * s),
+        t=st.t * s)
+    st3, n3 = fuse_close_points(st_s, cfg)
+    assert n3 == n
+    assert (np.asarray(st3.mappts.status)[:4] == status2[:4]).all()
