@@ -38,6 +38,11 @@ class FrameStats(NamedTuple):
     R: jnp.ndarray           # [C, 3, 3] post-step poses: shipping them in
     t: jnp.ndarray           # [C, 3]    the stats transfer saves the
                              # per-frame pose readback (a full tunnel RTT)
+    dyn_ids: jnp.ndarray     # [D] map slots of alive dynamic points (-1 =
+                             # none) — the per-frame dynamic snapshot
+    dyn_xyz: jnp.ndarray     # [D, 3] their positions (storeDynamicPoints,
+                             # SL_CoSLAM.cpp:1900-1911, rides the stats
+                             # transfer instead of 3 host pulls per frame)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
@@ -72,11 +77,65 @@ def frame_step(state: SlamState, pyr_prev, imgs_cur: jnp.ndarray,
     mappts, tracks2, n_new = steps.new_map_points(state, pyr_cur, K, kc, cfg)
     mappts = steps.lifecycle_update(mappts, state.frame, cfg)
     state = state._replace(mappts=mappts, tracks=tracks2)
+    # dynamic snapshot (up to D slots) for the host-side trajectory log
+    from coslam_tpu.slam.state import ST_ALIVE as _ALIVE, \
+        PT_DYNAMIC as _DYN
+    from coslam_tpu.slam.steps import _rank_to_index
+    D = state.kfs.dyn_xyz.shape[1]
+    P = mappts.xyz.shape[0]
+    dyn = (mappts.status == _ALIVE) & (mappts.ptype == _DYN)
+    pt_of_d = _rank_to_index(dyn)[:D]
+    dyn_ids = jnp.where(pt_of_d < P, pt_of_d, -1).astype(jnp.int32)
+    dyn_xyz = mappts.xyz[jnp.clip(pt_of_d, 0, P - 1)]
     stats = FrameStats(
         n_inliers=out.n_inliers, coverage=out.coverage,
         med_depth=out.med_depth, med_err=out.med_err,
         n_new_points=n_new, n_tracked=jnp.sum(tracks2.valid, axis=1),
         n_static=n_static, n_dynamic=n_dynamic,
         n_mapped=jnp.sum(tracks2.valid & (tracks2.mpt >= 0), axis=1),
-        R=state.R, t=state.t)
+        R=state.R, t=state.t, dyn_ids=dyn_ids, dyn_xyz=dyn_xyz)
     return state, pyr_cur, stats
+
+
+def pack_stats(fs: FrameStats) -> jnp.ndarray:
+    """Flatten FrameStats into ONE f32 vector. Over the tunneled TPU each
+    array readback costs a round trip regardless of size; 13 small leaves
+    cost ~13x one packed transfer."""
+    f32 = jnp.float32
+    return jnp.concatenate([
+        fs.n_inliers.astype(f32), fs.coverage.astype(f32),
+        fs.med_depth.astype(f32), fs.med_err.astype(f32),
+        fs.n_new_points[None].astype(f32), fs.n_tracked.astype(f32),
+        fs.n_static[None].astype(f32), fs.n_dynamic[None].astype(f32),
+        fs.n_mapped.astype(f32), fs.R.reshape(-1).astype(f32),
+        fs.t.reshape(-1).astype(f32), fs.dyn_ids.astype(f32),
+        fs.dyn_xyz.reshape(-1).astype(f32)])
+
+
+def unpack_stats(v, C: int, D: int) -> FrameStats:
+    """Host-side inverse of pack_stats (numpy fields)."""
+    import numpy as np
+    v = np.asarray(v)
+    o = 0
+
+    def take(n, shape=None):
+        nonlocal o
+        out = v[o:o + n]
+        o += n
+        return out.reshape(shape) if shape else out
+
+    return FrameStats(
+        n_inliers=take(C), coverage=take(C), med_depth=take(C),
+        med_err=take(C), n_new_points=take(1)[0], n_tracked=take(C),
+        n_static=take(1)[0], n_dynamic=take(1)[0], n_mapped=take(C),
+        R=take(9 * C, (C, 3, 3)), t=take(3 * C, (C, 3)),
+        dyn_ids=take(D).astype(int), dyn_xyz=take(3 * D, (D, 3)))
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def frame_step_packed(state: SlamState, pyr_prev, imgs_cur: jnp.ndarray,
+                      K: jnp.ndarray, kc: jnp.ndarray, cfg: SlamConfig):
+    """frame_step with the stats pre-packed into one transferable vector
+    (the engine's production path)."""
+    state, pyr_cur, fs = frame_step(state, pyr_prev, imgs_cur, K, kc, cfg)
+    return state, pyr_cur, pack_stats(fs)

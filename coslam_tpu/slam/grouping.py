@@ -42,13 +42,37 @@ def view_overlap_counts(state: SlamState):
     return shared, area
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("h", "w", "dormant_age"))
+def host_scan_device(state: SlamState, K: jnp.ndarray,
+                     h: int, w: int, dormant_age: int) -> jnp.ndarray:
+    """ALL periodic host-decision reductions in one device call + one
+    packed [C, 3C+2] transfer: grouping overlap (shared counts + hull
+    coverage), merge-candidate counts, per-owner alive counts, and
+    dormant-in-view counts (loop prefilter). Over the tunneled TPU each
+    separate device_get costs a full round trip — packing them is worth
+    more than any compute saving."""
+    from coslam_tpu.slam.merge import scan_candidates_device
+    shared, area = view_overlap_counts(state)
+    mc, alive_own, dorm = scan_candidates_device(state, K, h, w,
+                                                 dormant_age)
+    return jnp.concatenate(
+        [shared, area, mc, alive_own[:, None],
+         dorm[:, None].astype(jnp.float32)], axis=1)
+
+
 def camera_grouping(state: SlamState, cfg: SlamConfig,
                     min_shared: int = 20,
-                    min_cover: float = 0.2) -> np.ndarray:
+                    min_cover: float = 0.2,
+                    shared: np.ndarray | None = None,
+                    area: np.ndarray | None = None) -> np.ndarray:
     """Returns [C] group ids (connected components of the overlap graph)."""
     C = cfg.num_cameras
-    shared, area = jax.tree_util.tree_map(np.asarray,
-                                          view_overlap_counts(state))
+    if shared is None or area is None:
+        shared, area = jax.tree_util.tree_map(np.asarray,
+                                              view_overlap_counts(state))
     img_area = float(cfg.image_height * cfg.image_width)
     # union-find over edges
     parent = list(range(C))

@@ -31,6 +31,12 @@ from coslam_tpu.solvers.pose_graph import chain_graph, solve_rotations, \
     solve_translations
 
 
+@jax.jit
+def _pack_rt(R, t):
+    """[..., 3, 3] + [..., 3] -> [..., 3, 4] (single-transfer pose pack)."""
+    return jnp.concatenate([R, t[..., None]], axis=-1)
+
+
 # cadence (frames) shared by camera grouping and merge checks: merges must
 # run on the same frames that refresh group_id, or they act on stale groups
 GROUPING_INTERVAL = 5
@@ -74,9 +80,6 @@ class CoSlamEngine:
         # (the reference's async threads have the same property).
         self.overlap = overlap
         self._pending_fs = None
-        import jax as _jax
-        self._fs_copy = _jax.jit(
-            lambda x: _jax.tree_util.tree_map(jnp.copy, x))
         # one fused device call for the per-frame core (tracking, pose,
         # classification, mapping) instead of ~6 dispatches — significant
         # when host<->device round trips are expensive
@@ -115,6 +118,8 @@ class CoSlamEngine:
         self._last_loop_attempt = -10**9
         self._scan_frame = -1            # device candidate-scan cache
         self._scan_cache = None
+        self._pose_prefetch = None       # async-copied packed poses (set
+        self._kf_prefetch = None         # after BA; consumed by _pose_host)
 
     # ------------------------------------------------------------------
     @property
@@ -143,32 +148,31 @@ class CoSlamEngine:
         cfg = self.cfg
         t0 = time.perf_counter()
         self._pose_host_cache = None   # state.R/t will change this frame
+        self._pose_prefetch = None
+        self._kf_prefetch = None
         # keep uint8 input as uint8 for the transfer (4x less tunnel
         # bandwidth); the fused step casts on device
         imgs = jnp.asarray(images)
         if imgs.dtype not in (jnp.float32, jnp.uint8):
             imgs = jnp.asarray(images, jnp.float32)
         if self.bootstrapped and self.use_fused and self.frame > 0:
-            from coslam_tpu.slam.fused import frame_step
-            self.state, pyr, fs = frame_step(self.state, self.pyr_prev,
-                                             imgs, self.K, self.kc, cfg)
+            from coslam_tpu.slam.fused import frame_step_packed
+            self.state, pyr, fsv = frame_step_packed(
+                self.state, self.pyr_prev, imgs, self.K, self.kc, cfg)
             t0 = self._tick("core_fused", t0)
             stats = {"frame": self.frame}
             if self.overlap:
-                # snapshot the stats into fresh buffers (the live ones
-                # alias state and die with the next donation), start the
-                # host copy, and run the cadence on LAST frame's stats —
-                # by now their transfer has finished, so no RTT stall
-                fs_c = self._fs_copy(fs)
-                for leaf in jax.tree_util.tree_leaves(fs_c):
-                    leaf.copy_to_host_async()
+                # the packed stats vector (one fresh buffer — safe across
+                # donations) starts copying to host now and is consumed
+                # NEXT frame, so the cadence never waits a round trip
+                fsv.copy_to_host_async()
                 prev = self._pending_fs
-                self._pending_fs = fs_c
+                self._pending_fs = fsv
                 if prev is not None:
                     stats.update(self._host_cadence(pyr, prev))
                     self._record_pose()
             else:
-                stats.update(self._host_cadence(pyr, fs))
+                stats.update(self._host_cadence(pyr, fsv))
                 self._record_pose()
             if self.log_features:
                 self._log_features()
@@ -375,11 +379,13 @@ class CoSlamEngine:
         p = cfg.p
         t0 = time.perf_counter()
         self._poll_ba()
-        # ONE host transfer for all per-frame scalars (each np.asarray is a
-        # separate device round trip — ~27 ms each over the TPU tunnel);
-        # the post-step poses ride along so _record_pose costs nothing
-        fs = jax.device_get(fs)
-        self._pose_host_cache = (np.asarray(fs.R), np.asarray(fs.t))
+        # ONE host transfer for all per-frame scalars (each readback is a
+        # separate device round trip over the TPU tunnel); the post-step
+        # poses and dynamic snapshot ride along in the packed vector
+        from coslam_tpu.slam.fused import unpack_stats
+        fs = unpack_stats(np.asarray(fs), C,
+                          self.state.kfs.dyn_xyz.shape[1])
+        self._pose_host_cache = (fs.R.copy(), fs.t.copy())
         n_inl = np.asarray(fs.n_inliers)
         cover = np.asarray(fs.coverage)
         joint = False
@@ -391,9 +397,15 @@ class CoSlamEngine:
                 self.state = steps.push_pose_history(
                     self.state._replace(R=R, t=t))
                 self._pose_host_cache = None
+                self._pose_prefetch = None
                 joint = True
             if int(fs.n_dynamic) > 0:
-                self._store_dynamic_snapshot()
+                # snapshot rides the stats transfer (no extra pulls)
+                ids = np.asarray(fs.dyn_ids)
+                sel = ids >= 0
+                if sel.any():
+                    self.dyn_log.append((self.frame, ids[sel],
+                                         np.asarray(fs.dyn_xyz)[sel]))
             settled = not self.merge_log or \
                 self.frame - self.merge_log[-1]["frame"] > 12
             if self.frame % GROUPING_INTERVAL == 0 and settled:
@@ -467,6 +479,7 @@ class CoSlamEngine:
                 R, t = joint_pose_update(self.state, self.K, cfg)
                 self.state = self.state._replace(R=R, t=t)
                 self._pose_host_cache = None
+                self._pose_prefetch = None
                 joint = True
         self.state = steps.push_pose_history(self.state)
         t0 = self._tick("pose_update", t0)
@@ -589,9 +602,16 @@ class CoSlamEngine:
         # keyframe pose is cached on host at add time (pulling it from the
         # device ring costs two tunnel round trips per frame)
         if self._kf_pose_host is None:
-            kf_idx = (len(self.kf_frames) - 1) % self.state.kfs.frame.shape[0]
-            self._kf_pose_host = jax.device_get(
-                (self.state.kfs.R[kf_idx], self.state.kfs.t[kf_idx]))
+            pf = self._kf_prefetch
+            if pf is not None:
+                Rt = np.asarray(pf)
+                self._kf_prefetch = None
+            else:
+                kf_idx = (len(self.kf_frames) - 1) % \
+                    self.state.kfs.frame.shape[0]
+                Rt = np.asarray(jax.device_get(_pack_rt(
+                    self.state.kfs.R[kf_idx], self.state.kfs.t[kf_idx])))
+            self._kf_pose_host = (Rt[..., :3].copy(), Rt[..., 3].copy())
         R_kf, t_kf = self._kf_pose_host
         R_kf = np.asarray(R_kf)
         t_kf = np.asarray(t_kf)
@@ -638,6 +658,20 @@ class CoSlamEngine:
                                                   kf_ok, cfg)
         self._pose_host_cache = None
         self._kf_pose_host = None
+        self._prefetch_poses()
+
+    def _prefetch_poses(self):
+        """Dispatch packed copies of the (BA-corrected) live pose and the
+        newest keyframe pose and start their host copies: the consumers
+        (_record_pose, _keyframe_ready) read them a moment later without
+        blocking on a device round trip."""
+        KF = self.state.kfs.frame.shape[0]
+        kf_idx = ((len(self.kf_frames) - 1) % KF) if self.kf_frames else 0
+        self._pose_prefetch = _pack_rt(self.state.R, self.state.t)
+        self._kf_prefetch = _pack_rt(self.state.kfs.R[kf_idx],
+                                     self.state.kfs.t[kf_idx])
+        self._pose_prefetch.copy_to_host_async()
+        self._kf_prefetch.copy_to_host_async()
 
     def _apply_pending_ba(self):
         """Deferred write-back of an in-flight BA result (async_ba)."""
@@ -654,6 +688,7 @@ class CoSlamEngine:
             self.cfg, gen0=pb["gen0"])
         self._pose_host_cache = None
         self._kf_pose_host = None
+        self._prefetch_poses()
 
     def _poll_ba(self, max_defer: int = 8):
         """Apply the in-flight BA once its result is ready (or after
@@ -669,18 +704,27 @@ class CoSlamEngine:
         against pre-merge geometry must be dropped (SL_CoSLAM.cpp:1402)."""
         self._pending_ba = None
 
-    def _candidate_scan(self):
-        """Per-frame cached device reduction for merge/loop candidate
-        prefilters (one small transfer instead of whole-map pulls)."""
+    def _host_scan(self):
+        """Per-frame cached packed device reduction: grouping overlap,
+        merge prefilter counts, loop prefilter counts — ONE transfer.
+        Returns (shared [C,C], area [C,C], merge_counts [C,C],
+        alive_per_owner [C], dormant_counts [C])."""
         if self._scan_frame == self.frame and self._scan_cache is not None:
             return self._scan_cache
-        from coslam_tpu.slam.merge import scan_candidates_device
-        out = jax.device_get(scan_candidates_device(
+        from coslam_tpu.slam.grouping import host_scan_device
+        arr = np.asarray(jax.device_get(host_scan_device(
             self.state, self.K, self.cfg.image_height,
-            self.cfg.image_width, self.cfg.p.loop_dormant_age))
-        self._scan_cache = tuple(np.asarray(x) for x in out)
+            self.cfg.image_width, self.cfg.p.loop_dormant_age)))
+        C = self.cfg.num_cameras
+        self._scan_cache = (arr[:, :C], arr[:, C:2 * C],
+                            arr[:, 2 * C:3 * C], arr[:, 3 * C],
+                            arr[:, 3 * C + 1])
         self._scan_frame = self.frame
         return self._scan_cache
+
+    def _candidate_scan(self):
+        sh, ar, mc, alive_own, dorm = self._host_scan()
+        return mc, alive_own, dorm
 
     def _merge_possible(self) -> bool:
         """Superset test of checkPossibleMergable from the device scan."""
@@ -769,6 +813,8 @@ class CoSlamEngine:
             # caches are stale now
             self._pose_host_cache = None
             self._kf_pose_host = None
+            self._pose_prefetch = None
+            self._kf_prefetch = None
             # local BA over the merged window (the reference's
             # genMergeInfoVer2 robust BA + recomputeMapPoints,
             # SL_MergeCameraGroup.cpp:557-725,1175-1183): the rigid
@@ -814,6 +860,8 @@ class CoSlamEngine:
         self.state = res.state
         self._pose_host_cache = None
         self._kf_pose_host = None
+        self._pose_prefetch = None
+        self._kf_prefetch = None
         self._last_closure = self.frame
         self.loop_log.append({"frame": self.frame, "cam": res.cam,
                               "n_inliers": res.n_inliers,
@@ -834,7 +882,9 @@ class CoSlamEngine:
         than reacting one round later. Joins apply immediately (the
         cameras already share one map)."""
         from coslam_tpu.slam.grouping import camera_grouping
-        gid = camera_grouping(self.state, self.cfg)
+        shared, area, _, _, _ = self._host_scan()
+        gid = camera_grouping(self.state, self.cfg, shared=shared,
+                              area=area)
         cur = self.group_id
         C = self.cfg.num_cameras
         splits = any(cur[i] == cur[j] and gid[i] != gid[j]
@@ -865,9 +915,12 @@ class CoSlamEngine:
         pose so the trajectory covers every processed frame)."""
         if not self.overlap or self._pending_fs is None:
             return
-        fs = jax.device_get(self._pending_fs)
+        from coslam_tpu.slam.fused import unpack_stats
+        fs = unpack_stats(np.asarray(self._pending_fs),
+                          self.cfg.num_cameras,
+                          self.state.kfs.dyn_xyz.shape[1])
         self._pending_fs = None
-        self._pose_host_cache = (np.asarray(fs.R), np.asarray(fs.t))
+        self._pose_host_cache = (fs.R.copy(), fs.t.copy())
         self._record_pose()
 
     def _pose_host(self):
@@ -879,8 +932,17 @@ class CoSlamEngine:
         frames — the next frame's bookkeeping would then see a stale
         pose, and downstream keyframe decisions are sensitive to it."""
         if self._pose_host_cache is None:
-            R, t = jax.device_get((self.state.R, self.state.t))
-            self._pose_host_cache = (np.asarray(R), np.asarray(t))
+            # one packed [C, 3, 4] transfer instead of two round trips;
+            # a BA write-back leaves an async-prefetched copy behind
+            pf = self._pose_prefetch
+            if pf is not None:
+                Rt = np.asarray(pf)
+                self._pose_prefetch = None
+            else:
+                Rt = np.asarray(jax.device_get(_pack_rt(self.state.R,
+                                                        self.state.t)))
+            self._pose_host_cache = (Rt[..., :3].copy(),
+                                     Rt[..., 3].copy())
         return self._pose_host_cache
 
     # ------------------------------------------------------------------

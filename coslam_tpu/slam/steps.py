@@ -568,6 +568,7 @@ def build_ba_problem(state: SlamState, K: jnp.ndarray,
     return prob, ring, kf_ok
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def build_ba_table(state: SlamState, K: jnp.ndarray, cfg: SlamConfig):
     """Dense [S, P] window table for ``bundle_adjust_table`` (the
     scatter-free fast path; S = ba_window x cameras). Same collection
