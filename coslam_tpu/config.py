@@ -80,9 +80,11 @@ class SlamParams:
     ba_inner_iter: int = 30          # inner LM iterations
     ba_cadence: int = 1              # run BA every k-th keyframe
     dyn_max_points: int = 60         # dynamic points in joint pose (InterCamPoseEstimator)
-    dyn_neighborhood_px: float = 12.0  # decidePointType: new inter-cam
-                                       # points this close to a dynamic
-                                       # feature mint dynamic, not static
+    dyn_neighborhood_px: float = 20.0  # decidePointType: new inter-cam
+                                       # points within this Chebyshev
+                                       # (square half-width, matching the
+                                       # reference's hw=20 mask) distance
+                                       # of a dynamic feature mint dynamic
                                        # (SL_NewMapPointsInterCam.cpp:25-91)
     reproj_new_point_gate: float = 3.0   # new-point acceptance reproj error (px)
     new_point_min_parallax_deg: float = 1.0  # min ray angle for triangulation

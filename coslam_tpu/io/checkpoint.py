@@ -100,7 +100,12 @@ def load_checkpoint(path: str, engine):
     without it.)"""
     d = dict(np.load(path, allow_pickle=False))
     meta = json.loads(bytes(d.pop("meta")).decode())
-    assert meta["version"] == _FORMAT_VERSION
+    if meta["version"] != _FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint format v{meta['version']} != supported "
+            f"v{_FORMAT_VERSION} (v1 checkpoints predate the KeyframeStore "
+            "dynamic-snapshot fields; re-create the checkpoint with this "
+            "version)")
     engine.state = _unflatten_state(d)
     engine.frame = int(meta["frame"])
     engine.bootstrapped = bool(meta["bootstrapped"])

@@ -294,13 +294,18 @@ def classify_map_points(state: SlamState, K: jnp.ndarray,
         save_any = save_any | new_save
     saved = save_any
     win_fail = win_fail & ~saved
-    # detach the outlier view's feature from the saved point
+    # detach the outlier view's feature from the saved point; also drop
+    # the point's stored appearance for that camera so registration and
+    # duplicate fusion stop matching against the corrupted view
     mpt_new = tracks.mpt
+    nccv = mappts.ncc_valid
     for c in range(C):
         det = saved & (detach_cam == c) & (slot[:, c] >= 0)
         fidx = jnp.where(det, jnp.clip(slot[:, c], 0), N)
         mpt_new = mpt_new.at[c, fidx].set(-1, mode="drop")
+        nccv = nccv.at[:, c].set(jnp.where(det, False, nccv[:, c]))
     tracks_out = tracks._replace(mpt=mpt_new)
+    mappts = mappts._replace(ncc_valid=nccv)
     # moved test: the current observations re-triangulate consistently
     # (tri_ok) but the stored position no longer explains them — the
     # point moved. Pixel-space, so it is scale-free and trips within a

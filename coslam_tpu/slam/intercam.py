@@ -51,79 +51,6 @@ def _alloc_slots(mappts: MapPoints, want: jnp.ndarray):
     return slot, can
 
 
-@partial(jax.jit, static_argnames=("cfg", "cam_a", "cam_b"))
-def intercam_map_pair(state: SlamState, pyr_cur, K: jnp.ndarray,
-                      kc: jnp.ndarray, cam_a: int, cam_b: int,
-                      cfg: SlamConfig):
-    """Match unmapped features of cameras (a, b), triangulate, allocate.
-
-    Returns (mappts', tracks', n_new). One adjacent pair per call (group
-    order is tiny host-side data; pairs are compiled per (a, b)).
-    """
-    tracks, mappts = state.tracks, state.mappts
-    C, N = tracks.valid.shape
-    P = mappts.xyz.shape[0]
-    p = cfg.p
-    blocks_a, ok_a = extract_ncc_blocks(pyr_cur.imgs[0][cam_a],
-                                        tracks.raw[cam_a], p.ncc_patch_radius)
-    blocks_b, ok_b = extract_ncc_blocks(pyr_cur.imgs[0][cam_b],
-                                        tracks.raw[cam_b], p.ncc_patch_radius)
-    free_a = tracks.valid[cam_a] & (tracks.mpt[cam_a] < 0) & ok_a \
-        & (tracks.dyn_votes[cam_a] < 3)
-    free_b = tracks.valid[cam_b] & (tracks.mpt[cam_b] < 0) & ok_b \
-        & (tracks.dyn_votes[cam_b] < 3)
-    F = fundamental_from_poses(K[cam_a], state.R[cam_a], state.t[cam_a],
-                               K[cam_b], state.R[cam_b], state.t[cam_b])
-    m = guided_match(blocks_a, blocks_b, free_a, free_b,
-                     tracks.pos[cam_a], tracks.pos[cam_b], F=F,
-                     max_epi=p.max_epi_err, min_ncc=p.ncc_min_score)
-    matched = m.a_to_b >= 0
-    bsl = jnp.clip(m.a_to_b, 0)
-    xa = pixel_to_normalized(tracks.pos[cam_a], K[cam_a])
-    xb = pixel_to_normalized(tracks.pos[cam_b][bsl], K[cam_b])
-    X, sa, sb, pcos = triangulate_two_view_midpoint(
-        state.R[cam_a], state.t[cam_a], state.R[cam_b], state.t[cam_b],
-        xa, xb)
-    pra = project_points(K[cam_a], state.R[cam_a], state.t[cam_a], X)
-    prb = project_points(K[cam_b], state.R[cam_b], state.t[cam_b], X)
-    ea = jnp.linalg.norm(pra - tracks.pos[cam_a], axis=-1)
-    eb = jnp.linalg.norm(prb - tracks.pos[cam_b][bsl], axis=-1)
-    good = matched & (sa > 1e-3) & (sb > 1e-3) & \
-        (ea < p.reproj_new_point_gate) & (eb < p.reproj_new_point_gate) & \
-        jnp.all(jnp.isfinite(X), axis=-1)
-    slot, can = _alloc_slots(mappts, good)
-    Ks2 = jnp.broadcast_to(jnp.stack([K[cam_a], K[cam_b]]), (N, 2, 3, 3))
-    Rs2 = jnp.broadcast_to(jnp.stack([state.R[cam_a], state.R[cam_b]]),
-                           (N, 2, 3, 3))
-    ts2 = jnp.broadcast_to(jnp.stack([state.t[cam_a], state.t[cam_b]]),
-                           (N, 2, 3))
-    covX = triangulation_cov(Ks2, Rs2, ts2, X, jnp.ones((N, 2), bool),
-                             pixel_var=p.pixel_err_var)
-    mp = mappts
-    mp = mp._replace(
-        xyz=mp.xyz.at[slot].set(X, mode="drop"),
-        cov=mp.cov.at[slot].set(covX, mode="drop"),
-        gen=mp.gen.at[slot].add(1, mode="drop"),
-        status=mp.status.at[slot].set(ST_ALIVE, mode="drop"),
-        ptype=mp.ptype.at[slot].set(PT_STATIC, mode="drop"),
-        first_frame=mp.first_frame.at[slot].set(state.frame, mode="drop"),
-        last_obs=mp.last_obs.at[slot].set(state.frame, mode="drop"),
-        bad_votes=mp.bad_votes.at[slot].set(0, mode="drop"),
-        moved_votes=mp.moved_votes.at[slot].set(0, mode="drop"),
-        owner=mp.owner.at[slot].set(cam_a, mode="drop"),
-        ncc=mp.ncc.at[slot, cam_a].set(blocks_a, mode="drop")
-             .at[slot, cam_b].set(blocks_b[bsl], mode="drop"),
-        ncc_valid=mp.ncc_valid.at[slot, cam_a].set(ok_a, mode="drop")
-                    .at[slot, cam_b].set(ok_b[bsl], mode="drop"))
-    slot_safe = jnp.where(can, slot, -1).astype(jnp.int32)
-    mpt = tracks.mpt
-    mpt = mpt.at[cam_a].set(jnp.where(can, slot_safe, mpt[cam_a]))
-    mpt = mpt.at[cam_b, bsl].set(
-        jnp.where(can, slot_safe, mpt[cam_b, bsl]), mode="drop")
-    tracks = tracks._replace(mpt=mpt)
-    return mp, tracks, jnp.sum(can)
-
-
 @partial(jax.jit, static_argnames=("cfg", "cams"))
 def intercam_map_group(state: SlamState, pyr_cur, K: jnp.ndarray,
                        kc: jnp.ndarray, cams: tuple, cfg: SlamConfig):
@@ -236,17 +163,23 @@ def intercam_map_group(state: SlamState, pyr_cur, K: jnp.ndarray,
     # decidePointType: near a dynamic feature in any observing view ->
     # the new point belongs to the moving object, mint it dynamic
     near_dyn = jnp.zeros((M,), bool)
-    r2 = p.dyn_neighborhood_px ** 2
+    # Chebyshev (square-mask) neighborhood: the reference builds a
+    # (2*hw+1)^2 square mask around each feature bound to a MAPPED
+    # dynamic point (hw=20, getMappedDynPts,
+    # SL_NewMapPointsInterCam.cpp:25-91) — vote-only dynamic features do
+    # NOT mask (votes spike spuriously during pose drift; masking on them
+    # starves the static map of new points exactly when it needs them)
+    r = p.dyn_neighborhood_px
     for g, c in enumerate(cams):
         mic = jnp.clip(tracks.mpt[c], 0)
         dyn_feat = tracks.valid[c] & (
-            (tracks.dyn_votes[c] >= 3)
-            | ((tracks.mpt[c] >= 0) & (mappts.status[mic] == ST_ALIVE)
-               & (mappts.ptype[mic] == PT_DYNAMIC)))
-        d2 = (px[g][:, None, 0] - tracks.pos[c][None, :, 0]) ** 2 + \
-             (px[g][:, None, 1] - tracks.pos[c][None, :, 1]) ** 2
-        dmin2 = jnp.min(jnp.where(dyn_feat[None, :], d2, jnp.inf), axis=1)
-        near_dyn = near_dyn | (obs_ok[g] & (dmin2 < r2))
+            (tracks.mpt[c] >= 0) & (mappts.status[mic] == ST_ALIVE)
+            & (mappts.ptype[mic] == PT_DYNAMIC))
+        dch = jnp.maximum(
+            jnp.abs(px[g][:, None, 0] - tracks.pos[c][None, :, 0]),
+            jnp.abs(px[g][:, None, 1] - tracks.pos[c][None, :, 1]))
+        dmin = jnp.min(jnp.where(dyn_feat[None, :], dch, jnp.inf), axis=1)
+        near_dyn = near_dyn | (obs_ok[g] & (dmin <= r))
     # allocate + write
     slot, can = _alloc_slots(mappts, good)
     X_new = X_ln.T                                 # [M, 3]

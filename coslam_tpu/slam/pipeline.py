@@ -167,9 +167,15 @@ class CoSlamEngine:
                 # NEXT frame, so the cadence never waits a round trip
                 fsv.copy_to_host_async()
                 prev = self._pending_fs
-                self._pending_fs = fsv
+                self._pending_fs = (self.frame, fsv)
                 if prev is not None:
-                    stats.update(self._host_cadence(pyr, prev))
+                    pframe, pv = prev
+                    # the consumed stats originate one frame back — stamp
+                    # them with THEIR frame (cadence decisions still act
+                    # on the current state, one-frame-stale like the
+                    # reference's async threads)
+                    stats["frame"] = pframe
+                    stats.update(self._host_cadence(pyr, pv, frame=pframe))
                     self._record_pose()
             else:
                 stats.update(self._host_cadence(pyr, fsv))
@@ -368,105 +374,86 @@ class CoSlamEngine:
             self.feat_log.append((self.frame, c, mpt[c, sel], pos[c, sel]))
 
     # ------------------------------------------------------------------
-    def _host_cadence(self, pyr, fs) -> dict:
-        """Host-decided work after the fused core step: joint-pose
-        fallback, dynamic snapshots, grouping/merge, inter-camera mapping
-        and registration, keyframes + BA, duplicate unification,
-        lifecycle."""
-        import time
-        cfg = self.cfg
-        C = cfg.num_cameras
-        p = cfg.p
-        t0 = time.perf_counter()
+    def _host_cadence(self, pyr, fs, frame: Optional[int] = None) -> dict:
+        """Fused-path cadence: ONE host transfer for all per-frame scalars
+        (each readback is a separate device round trip over the TPU
+        tunnel) — the post-step poses and dynamic snapshot ride along in
+        the packed vector — then the shared cadence. ``frame`` stamps the
+        log entries (one frame back in overlap mode)."""
         self._poll_ba()
-        # ONE host transfer for all per-frame scalars (each readback is a
-        # separate device round trip over the TPU tunnel); the post-step
-        # poses and dynamic snapshot ride along in the packed vector
         from coslam_tpu.slam.fused import unpack_stats
-        fs = unpack_stats(np.asarray(fs), C,
+        fs = unpack_stats(np.asarray(fs), self.cfg.num_cameras,
                           self.state.kfs.dyn_xyz.shape[1])
         self._pose_host_cache = (fs.R.copy(), fs.t.copy())
-        n_inl = np.asarray(fs.n_inliers)
-        cover = np.asarray(fs.coverage)
-        joint = False
-        if C > 1:
-            weak = (n_inl < p.min_static_for_ok) | (cover < p.min_static_cover)
-            if weak.any() and (n_inl >= 4).all():
-                from coslam_tpu.slam.intercam import joint_pose_update
-                R, t = joint_pose_update(self.state, self.K, cfg)
-                self.state = steps.push_pose_history(
-                    self.state._replace(R=R, t=t))
-                self._pose_host_cache = None
-                self._pose_prefetch = None
-                joint = True
-            if int(fs.n_dynamic) > 0:
-                # snapshot rides the stats transfer (no extra pulls)
-                ids = np.asarray(fs.dyn_ids)
-                sel = ids >= 0
-                if sel.any():
-                    self.dyn_log.append((self.frame, ids[sel],
-                                         np.asarray(fs.dyn_xyz)[sel]))
-            settled = not self.merge_log or \
-                self.frame - self.merge_log[-1]["frame"] > 12
-            if self.frame % GROUPING_INTERVAL == 0 and settled:
-                self._update_grouping()
-            if (len(np.unique(self.group_id)) > 1
-                    and self.frame % GROUPING_INTERVAL == 0
-                    and self.frame - self._last_merge
-                    >= p.merge_min_interval):
-                self._try_merge(pyr)
-        if self.frame % GROUPING_INTERVAL == 0:
-            self._try_loop_closure(pyr)
-        n_inter = self._intercam_cadence(pyr, np.asarray(fs.n_mapped), n_inl)
-        t0 = self._tick("host_cadence", t0)
-        stats = {
-            "n_inliers": n_inl,
-            "coverage": cover,
-            "med_err": np.asarray(fs.med_err),
-            "med_depth": np.asarray(fs.med_depth),
-            "n_new_points": int(fs.n_new_points),
-            "n_intercam_points": n_inter,
-            "joint_pose": joint,
-        }
-        if C > 1:
-            stats["n_static"] = int(fs.n_static)
-            stats["n_dynamic"] = int(fs.n_dynamic)
-        if self._keyframe_ready(fs):
-            # a new keyframe must snapshot BA-consistent poses: flush any
-            # in-flight BA first (the reference skips requestForBA while
-            # the worker is busy, SL_CoSLAM.cpp:1737-1757)
-            self._apply_pending_ba()
-            self.state = self.state._replace(kfs=steps.add_keyframe(self.state))
-            self.kf_frames.append(self.frame)
-            self._kf_inliers = n_inl.copy()
-            self._kf_pose_host = self._pose_host()
-            if (len(self.kf_frames) % cfg.p.ba_cadence) == 0:
-                self._run_ba()
-                # if the solve already finished (small problems, fast
-                # chip), apply it this frame — async costs nothing in
-                # accuracy when the result beats the next frame anyway
-                self._poll_ba()
-                t0 = self._tick("ba", t0)
-            stats["keyframe"] = True
-        if self.frame > 0 and self.frame % 50 == 0:
-            from coslam_tpu.slam.merge import fuse_close_points
-            self.state, n_fused = fuse_close_points(self.state, cfg)
-            if n_fused:
-                stats["n_fused"] = n_fused
-        # lifecycle reclamation runs inside the fused step (next frame)
-        return stats
+        dyn = None
+        if int(fs.n_dynamic) > 0:
+            # snapshot rides the stats transfer (no extra pulls)
+            dyn = (np.asarray(fs.dyn_ids), np.asarray(fs.dyn_xyz))
+        return self._shared_cadence(
+            pyr, fs, n_mapped=np.asarray(fs.n_mapped),
+            n_new=int(fs.n_new_points), dyn=dyn,
+            n_static=int(fs.n_static), n_dynamic=int(fs.n_dynamic),
+            frame=self.frame if frame is None else frame)
 
     # ------------------------------------------------------------------
     def _tracked_frame(self, pyr) -> dict:
+        """Non-fused path (use_fused=False fallback / debugging): the same
+        stages as the fused step as individual dispatches, then the shared
+        cadence."""
         import time
         cfg = self.cfg
         C = cfg.num_cameras
-        p = cfg.p
         t0 = time.perf_counter()
         self._poll_ba()
         out = steps.pose_update(self.state, self.K, self.kc, self.img_hw, cfg)
         self.state = self.state._replace(
             R=out.R, t=out.t, tracks=out.tracks, mappts=out.mappts)
+        self.state = steps.push_pose_history(self.state)
+        t0 = self._tick("pose_update", t0)
+        n_static = n_dynamic = 0
+        if C > 1:
+            from coslam_tpu.slam.classify import (detect_dynamic_features,
+                                                  classify_map_points)
+            self.state = detect_dynamic_features(self.state, self.K, cfg)
+            cls = classify_map_points(self.state, self.K, cfg)
+            self.state = self.state._replace(mappts=cls.mappts,
+                                             tracks=cls.tracks)
+            n_static, n_dynamic = int(cls.n_static), int(cls.n_dynamic)
+        t0 = self._tick("classify", t0)
+        mappts, tracks, n_new = steps.new_map_points(
+            self.state, pyr, self.K, self.kc, cfg)
+        self.state = self.state._replace(mappts=mappts, tracks=tracks)
+        t0 = self._tick("new_map_points", t0)
+        n_mapped = np.asarray(jnp.sum(
+            self.state.tracks.valid & (self.state.tracks.mpt >= 0), axis=1))
+        stats = self._shared_cadence(pyr, out, n_mapped=n_mapped,
+                                     n_new=int(n_new), dyn=None,
+                                     n_static=n_static,
+                                     n_dynamic=n_dynamic, frame=self.frame)
+        self.state = self.state._replace(
+            mappts=steps.lifecycle_update(self.state.mappts,
+                                          self.state.frame, cfg))
+        return stats
+
+    # ------------------------------------------------------------------
+    def _shared_cadence(self, pyr, out, n_mapped: np.ndarray, n_new: int,
+                        dyn, n_static: int, n_dynamic: int,
+                        frame: int) -> dict:
+        """Host-decided per-frame work shared by the fused and non-fused
+        paths: joint-pose fallback, dynamic snapshots, grouping/merge,
+        loop closure, inter-camera mapping and registration, keyframes +
+        BA, duplicate unification.
+
+        ``out`` provides n_inliers/coverage/med_err/med_depth (a
+        FrameStats or a pose_update output). ``dyn`` is an optional
+        (ids, xyz) snapshot that rode the stats transfer; None pulls it
+        from the device when n_dynamic > 0. ``frame`` stamps log entries
+        (it lags self.frame by one in overlap mode)."""
+        import time
+        cfg = self.cfg
+        C = cfg.num_cameras
+        p = cfg.p
+        t0 = time.perf_counter()
         n_inl = np.asarray(out.n_inliers)
         cover = np.asarray(out.coverage)
         joint = False
@@ -477,21 +464,19 @@ class CoSlamEngine:
             if weak.any() and (n_inl >= 4).all():
                 from coslam_tpu.slam.intercam import joint_pose_update
                 R, t = joint_pose_update(self.state, self.K, cfg)
-                self.state = self.state._replace(R=R, t=t)
+                self.state = steps.push_pose_history(
+                    self.state._replace(R=R, t=t))
                 self._pose_host_cache = None
                 self._pose_prefetch = None
                 joint = True
-        self.state = steps.push_pose_history(self.state)
-        t0 = self._tick("pose_update", t0)
-        if C > 1:
-            from coslam_tpu.slam.classify import (detect_dynamic_features,
-                                                  classify_map_points)
-            self.state = detect_dynamic_features(self.state, self.K, cfg)
-            cls = classify_map_points(self.state, self.K, cfg)
-            self.state = self.state._replace(mappts=cls.mappts,
-                                             tracks=cls.tracks)
-            if int(cls.n_dynamic) > 0:
-                self._store_dynamic_snapshot()
+            if n_dynamic > 0:
+                if dyn is not None:
+                    ids, xyz = dyn
+                    sel = ids >= 0
+                    if sel.any():
+                        self.dyn_log.append((frame, ids[sel], xyz[sel]))
+                else:
+                    self._store_dynamic_snapshot(frame)
             # post-merge settle window: suppress re-grouping while shared
             # observations re-form (the reference's post-merge suppression,
             # SL_CoSLAM.cpp:1317-1320)
@@ -505,30 +490,26 @@ class CoSlamEngine:
                     and self.frame - self._last_merge
                     >= p.merge_min_interval):
                 self._try_merge(pyr)
-        t0 = self._tick("classify+group", t0)
-        mappts, tracks, n_new = steps.new_map_points(
-            self.state, pyr, self.K, self.kc, cfg)
-        self.state = self.state._replace(mappts=mappts, tracks=tracks)
-        t0 = self._tick("new_map_points", t0)
         if self.frame % GROUPING_INTERVAL == 0:
             self._try_loop_closure(pyr)
-        n_mapped = np.asarray(jnp.sum(
-            self.state.tracks.valid & (self.state.tracks.mpt >= 0), axis=1))
         n_inter = self._intercam_cadence(pyr, n_mapped, n_inl)
-        t0 = self._tick("intercam+register", t0)
+        t0 = self._tick("host_cadence", t0)
         stats = {
             "n_inliers": n_inl,
             "coverage": cover,
             "med_err": np.asarray(out.med_err),
             "med_depth": np.asarray(out.med_depth),
-            "n_new_points": int(n_new),
+            "n_new_points": n_new,
             "n_intercam_points": n_inter,
             "joint_pose": joint,
         }
         if C > 1:
-            stats["n_static"] = int(cls.n_static)
-            stats["n_dynamic"] = int(cls.n_dynamic)
+            stats["n_static"] = n_static
+            stats["n_dynamic"] = n_dynamic
         if self._keyframe_ready(out):
+            # a new keyframe must snapshot BA-consistent poses: flush any
+            # in-flight BA first (the reference skips requestForBA while
+            # the worker is busy, SL_CoSLAM.cpp:1737-1757)
             self._apply_pending_ba()
             self.state = self.state._replace(kfs=steps.add_keyframe(self.state))
             self.kf_frames.append(self.frame)
@@ -549,9 +530,6 @@ class CoSlamEngine:
             self.state, n_fused = fuse_close_points(self.state, cfg)
             if n_fused:
                 stats["n_fused"] = n_fused
-        self.state = self.state._replace(
-            mappts=steps.lifecycle_update(self.state.mappts,
-                                          self.state.frame, cfg))
         return stats
 
     def _intercam_cadence(self, pyr, n_mapped: np.ndarray,
@@ -577,6 +555,10 @@ class CoSlamEngine:
         budget_low = int(n_mapped.sum()) < p.n_max_map_pts
         decrease = bool(np.any(n_inl < 0.8 * np.maximum(self._kf_inliers,
                                                         1)))
+        # the decrease trigger gets its own minimum spacing: a camera with
+        # persistently low inliers (long occlusion, textureless view) must
+        # not fire the group-wide mapping pass every frame
+        decrease = decrease and since >= max(1, p.intercam_map_interval // 2)
         if (since >= p.intercam_map_interval and budget_low) or decrease:
             for cams in group_camera_tuples(self.group_id):
                 mp, tr, nn = intercam_map_group(self.state, pyr, self.K,
@@ -898,7 +880,7 @@ class CoSlamEngine:
         self.group_id = gid
         self.state = self.state._replace(group_id=jnp.asarray(gid))
 
-    def _store_dynamic_snapshot(self):
+    def _store_dynamic_snapshot(self, frame: Optional[int] = None):
         """Per-frame dynamic-point snapshot (storeDynamicPoints,
         SL_CoSLAM.cpp:1900-1911) — the dynamic trajectories output."""
         from coslam_tpu.slam.state import PT_DYNAMIC
@@ -908,20 +890,21 @@ class CoSlamEngine:
               (np.asarray(ptype) == PT_DYNAMIC)
         ids = np.nonzero(dyn)[0]
         if len(ids):
-            self.dyn_log.append((self.frame, ids, np.asarray(xyz)[dyn]))
+            self.dyn_log.append((self.frame if frame is None else frame,
+                                 ids, np.asarray(xyz)[dyn]))
 
     def _flush_overlap(self):
-        """Drain the pending overlapped stats (records the final frame's
-        pose so the trajectory covers every processed frame)."""
+        """Drain the pending overlapped stats: run the final frame's host
+        cadence (keyframe/BA/merge checks, dynamic snapshot) and record
+        its pose so the trajectory covers every processed frame."""
         if not self.overlap or self._pending_fs is None:
             return
-        from coslam_tpu.slam.fused import unpack_stats
-        fs = unpack_stats(np.asarray(self._pending_fs),
-                          self.cfg.num_cameras,
-                          self.state.kfs.dyn_xyz.shape[1])
+        pframe, pv = self._pending_fs
         self._pending_fs = None
-        self._pose_host_cache = (fs.R.copy(), fs.t.copy())
+        stats = {"frame": pframe}
+        stats.update(self._host_cadence(self.pyr_prev, pv, frame=pframe))
         self._record_pose()
+        self.stats_log.append(stats)
 
     def _pose_host(self):
         """Current (R, t) as numpy, fetched once per state change.

@@ -90,50 +90,56 @@ def test_group_mapping_mints_three_plus_view_points(four_cam_engine):
 
 
 def test_decide_point_type_near_dynamic_features(four_cam_engine):
-    """Candidate features near dynamic-voting features must never mint
-    PT_STATIC (decidePointType)."""
+    """Candidate features near features bound to MAPPED dynamic points
+    must never mint PT_STATIC (decidePointType builds its square mask
+    from getMappedDynPts, SL_NewMapPointsInterCam.cpp:40-62 — vote-only
+    dynamic features do not mask)."""
     eng, pyr = four_cam_engine
     cfg = eng.cfg
     st = _empty_map_state(eng)
-    # declare every feature of camera 1 in the left half-image dynamic
+    # bind every other camera-1 feature in the left half-image to an
+    # alive dynamic map point (the bound features are excluded from
+    # matching; their unmapped neighbors stay matchable and must mint
+    # dynamic within the square mask)
     pos1 = np.asarray(st.tracks.pos[1])
     valid1 = np.asarray(st.tracks.valid[1])
-    dyn_zone = valid1 & (pos1[:, 0] < W / 2)
-    if dyn_zone.sum() < 5:
+    dyn_zone = np.nonzero(valid1 & (pos1[:, 0] < W / 2))[0]
+    if len(dyn_zone) < 5:
         pytest.skip("too few features in the zone")
-    dv = np.asarray(st.tracks.dyn_votes).copy()
-    dv[1, dyn_zone] = 5
-    # dynamic-voting features are excluded from matching; build a second
-    # set of candidates: features NEAR the dynamic ones (other features in
-    # the zone stay matchable and must mint dynamic)
-    dv[1, dyn_zone] = 0
-    dv[1, np.nonzero(dyn_zone)[0][::2]] = 5   # every other one votes dyn
-    st = st._replace(tracks=st.tracks._replace(dyn_votes=jnp.asarray(dv)))
+    bound = dyn_zone[::2]
+    mpt = np.asarray(st.tracks.mpt).copy()
+    status = np.asarray(st.mappts.status).copy()
+    ptype0 = np.asarray(st.mappts.ptype).copy()
+    slots = np.arange(len(bound), dtype=np.int32)
+    mpt[1, bound] = slots
+    status[slots] = ST_ALIVE
+    ptype0[slots] = PT_DYNAMIC
+    st = st._replace(
+        tracks=st.tracks._replace(mpt=jnp.asarray(mpt)),
+        mappts=st.mappts._replace(status=jnp.asarray(status),
+                                  ptype=jnp.asarray(ptype0)))
     cams = (0, 1, 2, 3)
     mp, tr, n_new = intercam_map_group(st, pyr, eng.K, eng.kc, cams, cfg)
     assert int(n_new) > 0
     mpt1 = np.asarray(tr.mpt[1])
     alive = np.asarray(mp.status) == ST_ALIVE
     ptype = np.asarray(mp.ptype)
-    dyn_pos = pos1[dv[1] >= 3]
+    dyn_pos = pos1[bound]
     r = cfg.p.dyn_neighborhood_px
     sel = np.nonzero(np.asarray(tr.valid[1]) & (mpt1 >= 0))[0]
+    sel = sel[~np.isin(sel, bound)]        # only freshly minted bindings
+    near = []
     for f in sel:
         slot = mpt1[f]
         if not alive[slot]:
             continue
-        d = np.hypot(dyn_pos[:, 0] - pos1[f, 0],
-                     dyn_pos[:, 1] - pos1[f, 1]).min() if len(dyn_pos) \
-            else np.inf
-        if d < r:
+        # Chebyshev (square-mask) distance, matching the reference's mask
+        d = np.maximum(np.abs(dyn_pos[:, 0] - pos1[f, 0]),
+                       np.abs(dyn_pos[:, 1] - pos1[f, 1])).min() \
+            if len(dyn_pos) else np.inf
+        if d <= r:
             assert ptype[slot] == PT_DYNAMIC, \
                 f"point near dynamic feature minted type {ptype[slot]}"
+        near.append(d <= r)
     # and at least one such dynamic-neighborhood point was actually minted
-    near = []
-    for f in sel:
-        if not alive[mpt1[f]]:
-            continue
-        d = np.hypot(dyn_pos[:, 0] - pos1[f, 0],
-                     dyn_pos[:, 1] - pos1[f, 1]).min()
-        near.append(d < r)
     assert any(near)
