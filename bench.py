@@ -15,21 +15,39 @@ the generous analytic estimate for the full 3-camera pipeline on the
 reference's GPU/CPU and report vs_baseline = fps / 15. The >2x target of
 BASELINE.md therefore means vs_baseline >= 2.
 
-Prints ONE JSON line.
+Timeout robustness: the axon-tunneled TPU pays ~100-260 s of one-time
+backend init before the first op, so the primary JSON line is printed
+IMMEDIATELY after the core measurement and the line is RE-printed,
+enriched, after every further section (last full line wins). Every
+optional section is gated on the remaining wall-clock budget
+(COSLAM_BENCH_BUDGET_S, default 460 s) and the engine warm loop
+re-checks the budget every frame.
+
+Prints one JSON line per completed section; the last line is the record.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 _T_START = time.perf_counter()
+BUDGET = float(os.environ.get("COSLAM_BENCH_BUDGET_S", "460"))
+
+
+def _left():
+    return BUDGET - (time.perf_counter() - _T_START)
+
+
+def _note(msg):
+    print(f"[bench +{time.perf_counter() - _T_START:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def main():
     import jax
-    # persistent compile cache: first run pays the (tunnel-slow) XLA
-    # compiles, subsequent runs start in seconds
     jax.config.update("jax_compilation_cache_dir", "/tmp/coslam_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
@@ -55,6 +73,7 @@ def main():
                  dtype=np.float32), (C, 3, 3)))
     kc = jnp.zeros((C, 5), jnp.float32)
 
+    # --- core fused step (the PRIMARY metric) ---------------------------
     # warmup/compile. NOTE: on the axon-tunneled TPU, block_until_ready
     # returns before execution completes; a host readback (np.asarray) is
     # the only honest sync, so we time a chain of steps and sync once at
@@ -63,6 +82,7 @@ def main():
     pyr = build_pyramid(imgs_prev, cfg.klt.n_levels)
     state, pyr, stats = frame_step(state, pyr, imgs_cur, K, kc, cfg)
     _ = np.asarray(stats.n_tracked)
+    _note("core compiled")
     n_iters = 30
     t0 = time.perf_counter()
     for _ in range(n_iters):
@@ -72,126 +92,146 @@ def main():
     fps = n_iters / dt
     baseline_fps = 15.0
 
-    # Engine frames/s: the FULL CoSlamEngine per-frame path end-to-end
-    # (fused core + host cadence: classification, budget-triggered
-    # inter-camera mapping, registration, keyframes, async windowed BA)
-    # on a rendered synthetic 3-camera scene at production shape. This is
-    # the number a user of the engine actually gets, tunnel latency and
-    # all — the core-step fps above is the device-compute ceiling.
-    engine_fps = None
-    engine_overlap_fps = None
-    elapsed = time.perf_counter() - _T_START
-    if elapsed < 360.0:
-        try:
-            from coslam_tpu.io.synthetic import (make_room,
-                                                 orbit_trajectory,
-                                                 render_sequence,
-                                                 multi_cam_rig)
-            from coslam_tpu.slam.pipeline import CoSlamEngine
-            F = 36
-            planes = make_room(rng, size=10.0)
-            Rr, tr = orbit_trajectory(F, forward=0.05)
-            rot_c, offs_c = multi_cam_rig(C, baseline=1.0)
-            Kb = np.broadcast_to(
-                np.array([[500.0, 0, W / 2], [0, 500.0, H / 2], [0, 0, 1]],
-                         np.float32), (C, 3, 3)).copy()
-            frames = np.zeros((F, C, H, W), np.float32)
-            for f in range(F):
-                c_rig = -Rr[f].T @ tr[f]
-                for c in range(C):
-                    center = c_rig + Rr[f].T @ offs_c[c]
-                    Rc = rot_c[c] @ Rr[f]
-                    frames[f, c] = np.asarray(render_sequence(
-                        planes, Kb[c], Rc[None], (-Rc @ center)[None],
-                        H, W)[0])
-            frames = np.clip(frames, 0, 255).astype(np.uint8)  # video-like
-            eng = CoSlamEngine(cfg, Kb, np.zeros((C, 5), np.float32))
-            warm = 24                     # compiles + bootstrap + first BA
-            for f in range(warm):
-                eng.process_frame(frames[f])
-            t0 = time.perf_counter()
-            for f in range(warm, F):
-                eng.process_frame(frames[f])
-            engine_fps = (F - warm) / (time.perf_counter() - t0)
-            # overlapped-stats mode: the per-frame stats readback rides
-            # behind the next frame's compute (compiles already cached)
-            eng2 = CoSlamEngine(cfg, Kb, np.zeros((C, 5), np.float32),
-                                overlap=True)
-            for f in range(warm):
-                eng2.process_frame(frames[f])
-            t0 = time.perf_counter()
-            for f in range(warm, F):
-                eng2.process_frame(frames[f])
-            engine_overlap_fps = (F - warm) / (time.perf_counter() - t0)
-        except Exception as e:          # engine bench must never kill the
-            import sys                  # primary metric
-            print(f"engine bench failed: {e!r}", file=sys.stderr)
+    out = {
+        "metric": "tracked_frames_per_s_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s (3 cams, 640x480, 1024 feats)",
+        "vs_baseline": round(fps / baseline_fps, 2),
+    }
+    print(json.dumps(out), flush=True)          # primary line: ALWAYS out
+    _note(f"core: {fps:.1f} f/s")
 
-    # BA throughput: a production-shaped window (5 keyframes x 3 cameras,
-    # 2048 points, ~6k observations), LM iterations per second.
-    # NOTE: every executable recompiles per process on the tunneled TPU
-    # (the remote-compile path bypasses jax's persistent cache), so the BA
-    # section is skipped if the run is already over budget — the primary
-    # frames/s metric must always be printed.
-    ba_iters_s = None
-    elapsed = time.perf_counter() - _T_START
-    from coslam_tpu.solvers.ba import BATableProblem, bundle_adjust_table
-    from coslam_tpu.geometry.se3 import so3_exp
-    M, Ppts = 15, 2048
-    Xw = rng.uniform(-4, 4, (Ppts, 3)).astype(np.float32)
-    Xw[:, 2] += 10
-    Rb = np.stack([np.asarray(so3_exp(jnp.asarray(
-        0.05 * rng.standard_normal(3).astype(np.float32)))) for _ in range(M)])
-    tb = np.stack([np.array([0.2 * m, 0, 0], np.float32) for m in range(M)])
-    # dense [S, P] window table, ~3 observations per point (the engine's
-    # build_ba_table form; the solver is the scatter-free lane-major path)
-    valid = rng.random((M, Ppts)) < (3.0 / M)
-    px = np.zeros((M, 2, Ppts), np.float32)
-    for s in range(M):
-        Xc = Xw @ Rb[s].T + tb[s]
-        px[s, 0] = Xc[:, 0] / Xc[:, 2] * 500 + W / 2
-        px[s, 1] = Xc[:, 1] / Xc[:, 2] * 500 + H / 2
-    px += 0.3 * rng.standard_normal(px.shape).astype(np.float32)
-    cam_fixed = np.zeros(M, bool)
-    cam_fixed[:2] = True
-    prob = BATableProblem(
-        K=jnp.broadcast_to(K[0][None], (M, 3, 3)),
-        R=jnp.asarray(Rb), t=jnp.asarray(tb),
-        X=jnp.asarray(Xw + 0.05),
-        obs_px=jnp.asarray(px), obs_valid=jnp.asarray(valid),
-        cam_fixed=jnp.asarray(cam_fixed),
-        point_fixed=jnp.zeros(Ppts, bool))
-    if elapsed < 420.0:
+    # --- BA throughput --------------------------------------------------
+    # production-shaped window (5 keyframes x 3 cameras, 2048 points,
+    # ~6k observations), LM iterations per second.
+    if _left() > 60:
+        from coslam_tpu.solvers.ba import BATableProblem, bundle_adjust_table
+        from coslam_tpu.geometry.se3 import so3_exp
+        M, Ppts = 15, 2048
+        Xw = rng.uniform(-4, 4, (Ppts, 3)).astype(np.float32)
+        Xw[:, 2] += 10
+        Rb = np.stack([np.asarray(so3_exp(jnp.asarray(
+            0.05 * rng.standard_normal(3).astype(np.float32))))
+            for _ in range(M)])
+        tb = np.stack([np.array([0.2 * m, 0, 0.05], np.float32)
+                       for m in range(M)])
+        valid = rng.random((M, Ppts)) < (3.0 / M)
+        px = np.zeros((M, 2, Ppts), np.float32)
+        for s in range(M):
+            Xc = Xw @ Rb[s].T + tb[s]
+            px[s, 0] = Xc[:, 0] / Xc[:, 2] * 500 + W / 2
+            px[s, 1] = Xc[:, 1] / Xc[:, 2] * 500 + H / 2
+        px += 0.3 * rng.standard_normal(px.shape).astype(np.float32)
+        cam_fixed = np.zeros(M, bool)
+        cam_fixed[:2] = True
+        prob = BATableProblem(
+            K=jnp.broadcast_to(K[0][None], (M, 3, 3)),
+            R=jnp.asarray(Rb), t=jnp.asarray(tb),
+            X=jnp.asarray(Xw + 0.05),
+            obs_px=jnp.asarray(px), obs_valid=jnp.asarray(valid),
+            cam_fixed=jnp.asarray(cam_fixed),
+            point_fixed=jnp.zeros(Ppts, bool))
         inner = 30
         res = bundle_adjust_table(prob, max_err=10.0, max_iter=2,
                                   inner_iter=inner)
         _ = np.asarray(res.cost)
         reps = 10
         t0 = time.perf_counter()
-        c = prob
         for _ in range(reps):
-            res = bundle_adjust_table(c._replace(X=res.X), max_err=10.0,
+            res = bundle_adjust_table(prob._replace(X=res.X), max_err=10.0,
                                       max_iter=2, inner_iter=inner)
         _ = np.asarray(res.cost)
-        ba_iters_s = reps * 2 * inner / (time.perf_counter() - t0)
+        out["ba_problem"] = "15 cams x 2048 pts x 6144 obs"
+        out["ba_lm_iters_per_s"] = round(
+            reps * 2 * inner / (time.perf_counter() - t0), 1)
+        print(json.dumps(out), flush=True)
+        _note(f"ba: {out['ba_lm_iters_per_s']} iters/s")
 
-    out = {
-        "metric": "tracked_frames_per_s_per_chip",
-        "value": round(fps, 2),
-        "unit": "frames/s (3 cams, 640x480, 1024 feats)",
-        "vs_baseline": round(fps / baseline_fps, 2),
-        "ba_problem": "15 cams x 2048 pts x 6144 obs",
-    }
-    if engine_fps is not None:
-        out["engine_frames_per_s"] = round(engine_fps, 2)
-        out["engine_vs_baseline"] = round(engine_fps / baseline_fps, 2)
-    if engine_overlap_fps is not None:
-        out["engine_overlap_frames_per_s"] = round(engine_overlap_fps, 2)
-        out["engine_overlap_vs_baseline"] = round(
-            engine_overlap_fps / baseline_fps, 2)
-    if ba_iters_s is not None:
-        out["ba_lm_iters_per_s"] = round(ba_iters_s, 1)
-    print(json.dumps(out))
+    # --- engine end-to-end ----------------------------------------------
+    # the FULL CoSlamEngine per-frame path (fused core + host cadence:
+    # classification, budget-triggered inter-camera mapping, registration,
+    # keyframes, windowed BA) on a rendered synthetic 3-camera scene at
+    # production shape — the number a user of the engine actually gets,
+    # tunnel latency and all. The core-step fps above is the
+    # device-compute ceiling.
+    try:
+        _engine_bench(out, cfg, rng, C, H, W)
+    except Exception as e:              # engine bench must never kill the
+        _note(f"engine bench failed: {e!r}")    # recorded sections
+    print(json.dumps(out), flush=True)
+
+
+def _engine_bench(out, cfg, rng, C, H, W):
+    import jax
+    import jax.numpy as jnp
+    from coslam_tpu.slam.pipeline import CoSlamEngine
+
+    if _left() < 120:
+        _note("engine section skipped (budget)")
+        return
+    F = 64
+    Kb = np.broadcast_to(
+        np.array([[500.0, 0, W / 2], [0, 500.0, H / 2], [0, 0, 1]],
+                 np.float32), (C, 3, 3)).copy()
+    cache = f"/tmp/coslam_bench_frames_{C}x{H}x{W}_{F}.npy"
+    if os.path.exists(cache):
+        frames = np.load(cache)
+        _note("frames loaded from cache")
+    else:
+        from coslam_tpu.io.synthetic import (make_room, orbit_trajectory,
+                                             render, multi_cam_rig)
+        planes = make_room(rng, size=10.0)
+        Rr, tr = orbit_trajectory(F, forward=0.05)
+        rot_c, offs_c = multi_cam_rig(C, baseline=1.0)
+        frames = np.zeros((F, C, H, W), np.float32)
+        for f in range(F):
+            c_rig = -Rr[f].T @ tr[f]
+            for c in range(C):
+                center = c_rig + Rr[f].T @ offs_c[c]
+                Rc = rot_c[c] @ Rr[f]
+                frames[f, c] = np.asarray(render(
+                    planes, Kb[c], Rc, -Rc @ center, H, W))
+        frames = np.clip(frames, 0, 255).astype(np.uint8)  # video-like
+        np.save(cache, frames)
+        _note("frames rendered")
+    if _left() < 90:
+        _note("engine run skipped (budget)")
+        return
+
+    def run(overlap):
+        """Process frames; returns steady-state fps (warm frames excluded)
+        or None if the budget ran out mid-warm."""
+        eng = CoSlamEngine(cfg, Kb, np.zeros((C, 5), np.float32),
+                           overlap=overlap)
+        warm = 20                     # bootstrap + first keyframes/BA
+        for f in range(warm):
+            eng.process_frame(frames[f])
+            if _left() < 30:
+                _note("engine warm aborted (budget)")
+                return None
+        t0 = time.perf_counter()
+        done = warm
+        for f in range(warm, F):
+            eng.process_frame(frames[f])
+            done = f + 1
+            if _left() < 15 and done - warm >= 10:
+                break
+        return (done - warm) / (time.perf_counter() - t0)
+
+    fps = run(overlap=False)
+    if fps is not None:
+        out["engine_frames_per_s"] = round(fps, 2)
+        out["engine_vs_baseline"] = round(fps / 15.0, 2)
+        print(json.dumps(out), flush=True)
+        _note(f"engine: {fps:.2f} f/s")
+    if _left() > 40:
+        # overlapped-stats mode: the per-frame stats readback rides behind
+        # the next frame's compute (compiles already cached)
+        fps2 = run(overlap=True)
+        if fps2 is not None:
+            out["engine_overlap_frames_per_s"] = round(fps2, 2)
+            out["engine_overlap_vs_baseline"] = round(fps2 / 15.0, 2)
+            _note(f"engine overlap: {fps2:.2f} f/s")
 
 
 if __name__ == "__main__":

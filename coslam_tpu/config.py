@@ -74,6 +74,11 @@ class SlamParams:
     merge_min_interval: int = 130    # frames between merge attempts (SL_CoSLAM.cpp:1381)
     merge_overlap_min: int = 50      # checkViewOverlap inlier floor
     merge_overlap_ratio: float = 0.5
+    merge_ba_window: int = 16        # keyframes in the merge/loop-time
+                                     # joint polish BA (covers both
+                                     # groups' separation-era keyframes;
+                                     # genMergeInfoVer2's local BA role,
+                                     # SL_MergeCameraGroup.cpp:557-725)
     ncc_patch_radius: int = 5        # 11x11 NCC blocks (SL_NCCBlock.h:15-17)
     ncc_min_score: float = 0.6       # NCC acceptance for matching / registration
     ba_max_iter: int = 2             # outer robust iterations (requestForBA)

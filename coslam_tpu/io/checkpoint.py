@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from coslam_tpu.slam.state import (SlamState, TrackTable, MapPoints,
                                    KeyframeStore)
 
-_FORMAT_VERSION = 2   # v2: KeyframeStore dynamic-snapshot fields
+_FORMAT_VERSION = 3   # v3: long-horizon history/pose rings (60-frame classify window)
 
 
 def _flatten_state(state: SlamState) -> dict:

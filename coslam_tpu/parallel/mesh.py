@@ -46,6 +46,7 @@ def state_pspecs(state: SlamState) -> SlamState:
             obs_gen=kf_cam, dyn_xyz=rep, dyn_obs_px=kf_cam,
             dyn_obs_ok=kf_cam, n=rep),
         pose_hist_R=cam, pose_hist_t=cam,
+        pose_hist_long_R=cam, pose_hist_long_t=cam,
         group_id=cam)
 
 

@@ -109,53 +109,81 @@ def _windowed_static_err(state: SlamState, K: jnp.ndarray,
     """The isStaticPoint frame-window test (SL_CoSLAMHelper.cpp:253-315):
     reproject each point's STORED position against its feature's history
     observations at the historic poses, over the last
-    ``classify_frame_window`` frames (clamped to the history-ring span).
+    ``classify_frame_window`` frames. Offsets within the dense ring use
+    every frame; older offsets (up to the full window — the reference's
+    numFrame=60 span) come from the every-LONG_STRIDE-frames long ring.
     Returns (n_checks [P], n_consistent [P]).
 
     Feature-major: the window errors are computed on [T, N] blocks (the
     history's native layout — no N->P gather amplification) and the
     per-feature counts scatter-add onto their bound points."""
+    from coslam_tpu.slam.state import LONG_STRIDE
     tracks, mappts = state.tracks, state.mappts
     C, T, N = tracks.hist_valid.shape
+    TL = tracks.hist_long_valid.shape[1]
     P = mappts.xyz.shape[0]
     p = cfg.p
-    W = min(p.classify_frame_window, T - 1)
+    W = p.classify_frame_window
     frame = state.frame
+    gate = p.max_epi_err
+    # dense ring: offsets 1 .. min(W, T-1)
     k_off = jnp.arange(T)
     past_frame = frame - k_off
     ring = jnp.mod(past_frame, T)
-    in_win = (k_off >= 1) & (k_off <= W)
-    gate = p.max_epi_err
+    in_win = (k_off >= 1) & (k_off <= min(W, T - 1))
+    # long ring: offsets (T-1, W] at LONG_STRIDE granularity
+    m_off = jnp.arange(TL)
+    m_cur = frame // LONG_STRIDE
+    past_m = m_cur - m_off
+    ring_l = jnp.mod(past_m, TL)
+    past_frame_l = past_m * LONG_STRIDE
+    k_l = frame - past_frame_l
+    in_win_l = (k_l > T - 1) & (k_l <= W) & (past_frame_l >= 0)
     n_checks = jnp.zeros((P,), jnp.int32)
     n_cons = jnp.zeros((P,), jnp.int32)
     fx, fy = K[:, 0, 0], K[:, 1, 1]
     cx, cy = K[:, 0, 2], K[:, 1, 2]
-    for c in range(C):
-        mi = jnp.clip(tracks.mpt[c], 0)                    # [N]
-        bound = tracks.valid[c] & (tracks.mpt[c] >= 0)
-        Xf = mappts.xyz[mi]                                # [N, 3]
-        Xs = [Xf[:, i] for i in range(3)]
-        hpos = jnp.take(tracks.hist[c], ring, axis=0)      # [T, N, 2]
-        hok = jnp.take(tracks.hist_valid[c], ring, axis=0)  # [T, N]
-        ages = jnp.minimum(tracks.age[c] - 1, T - 1)       # [N]
-        ok = hok & bound[None, :] & in_win[:, None] & \
-            (k_off[:, None] <= ages[None, :]) & (past_frame[:, None] >= 0)
-        Rp = jnp.take(state.pose_hist_R[c], ring, axis=0)  # [T, 3, 3]
-        tp = jnp.take(state.pose_hist_t[c], ring, axis=0)  # [T, 3]
+
+    def window_counts(Xs, hpos, hok, Rp, tp, ok, c):
+        """ok/good counts [N] of one camera's [T', N] history block
+        against the stored positions Xs (3 x [N])."""
         Xc = [Rp[:, i, 0, None] * Xs[0][None] + Rp[:, i, 1, None] * Xs[1][None]
               + Rp[:, i, 2, None] * Xs[2][None] + tp[:, i, None]
-              for i in range(3)]                            # 3 x [T, N]
+              for i in range(3)]                            # 3 x [T', N]
         z = Xc[2]
         zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
         du = fx[c] * Xc[0] * zi + cx[c] - hpos[:, :, 0]
         dv = fy[c] * Xc[1] * zi + cy[c] - hpos[:, :, 1]
         e2 = du * du + dv * dv
         good = ok & (z > 1e-3) & (e2 < gate * gate)
+        return (jnp.sum(ok, axis=0, dtype=jnp.int32),
+                jnp.sum(good, axis=0, dtype=jnp.int32))
+
+    for c in range(C):
+        mi = jnp.clip(tracks.mpt[c], 0)                    # [N]
+        bound = tracks.valid[c] & (tracks.mpt[c] >= 0)
+        Xf = mappts.xyz[mi]                                # [N, 3]
+        Xs = [Xf[:, i] for i in range(3)]
+        ages = tracks.age[c] - 1                           # [N]
+        hpos = jnp.take(tracks.hist[c], ring, axis=0)      # [T, N, 2]
+        hok = jnp.take(tracks.hist_valid[c], ring, axis=0)  # [T, N]
+        ok = hok & bound[None, :] & in_win[:, None] & \
+            (k_off[:, None] <= ages[None, :]) & (past_frame[:, None] >= 0)
+        Rp = jnp.take(state.pose_hist_R[c], ring, axis=0)  # [T, 3, 3]
+        tp = jnp.take(state.pose_hist_t[c], ring, axis=0)  # [T, 3]
+        nc, ng = window_counts(Xs, hpos, hok, Rp, tp, ok, c)
+        if W > T - 1:
+            hpos_l = jnp.take(tracks.hist_long[c], ring_l, axis=0)
+            hok_l = jnp.take(tracks.hist_long_valid[c], ring_l, axis=0)
+            ok_l = hok_l & bound[None, :] & in_win_l[:, None] & \
+                (k_l[:, None] <= ages[None, :])
+            Rp_l = jnp.take(state.pose_hist_long_R[c], ring_l, axis=0)
+            tp_l = jnp.take(state.pose_hist_long_t[c], ring_l, axis=0)
+            nc2, ng2 = window_counts(Xs, hpos_l, hok_l, Rp_l, tp_l, ok_l, c)
+            nc, ng = nc + nc2, ng + ng2
         tgt = jnp.where(bound, tracks.mpt[c], P)
-        n_checks = n_checks.at[tgt].add(
-            jnp.sum(ok, axis=0, dtype=jnp.int32), mode="drop")
-        n_cons = n_cons.at[tgt].add(
-            jnp.sum(good, axis=0, dtype=jnp.int32), mode="drop")
+        n_checks = n_checks.at[tgt].add(nc, mode="drop")
+        n_cons = n_cons.at[tgt].add(ng, mode="drop")
     return n_checks, n_cons
 
 

@@ -412,6 +412,20 @@ def apply_group_transform(state: SlamState, cfg: SlamConfig,
                        Rw_h[None], tw_h[None], sw_h[None])
     pose_hist_R = jnp.where(mv[:, None, None, None], phR, state.pose_hist_R)
     pose_hist_t = jnp.where(mv[:, None, None], pht, state.pose_hist_t)
+    # long-horizon pose ring: slot k holds frame LONG_STRIDE*m with
+    # m = m_cur - ((m_cur - k) mod TL), m_cur = f_merge // LONG_STRIDE
+    from coslam_tpu.slam.state import LONG_STRIDE
+    TL = state.pose_hist_long_R.shape[1]
+    kl = jnp.arange(TL)
+    m_cur = f_merge // LONG_STRIDE
+    f_hist_l = LONG_STRIDE * (m_cur - jnp.mod(m_cur - kl, TL))
+    Rw_hl, tw_hl, sw_hl = S_at(w_of(f_hist_l))
+    phRl, phtl = xf_pose(state.pose_hist_long_R, state.pose_hist_long_t,
+                         Rw_hl[None], tw_hl[None], sw_hl[None])
+    pose_hist_long_R = jnp.where(mv[:, None, None, None], phRl,
+                                 state.pose_hist_long_R)
+    pose_hist_long_t = jnp.where(mv[:, None, None], phtl,
+                                 state.pose_hist_long_t)
     # keyframes: graded by their frame stamps
     Rw_k, tw_k, sw_k = S_at(w_of(state.kfs.frame))       # [KF, 3, 3], [KF, 3]
     kR, kt = xf_pose(state.kfs.R, state.kfs.t,
@@ -441,7 +455,10 @@ def apply_group_transform(state: SlamState, cfg: SlamConfig,
         xyz=jnp.where(owner_moves[:, None], X_new, mp.xyz),
         cov=jnp.where(owner_moves[:, None, None], cov_new, mp.cov))
     return state._replace(R=R_cur, t=t_cur, pose_hist_R=pose_hist_R,
-                          pose_hist_t=pose_hist_t, kfs=kfs, mappts=mappts)
+                          pose_hist_t=pose_hist_t,
+                          pose_hist_long_R=pose_hist_long_R,
+                          pose_hist_long_t=pose_hist_long_t,
+                          kfs=kfs, mappts=mappts)
 
 
 def fuse_duplicate_points(state: SlamState, cfg: SlamConfig,

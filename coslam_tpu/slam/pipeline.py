@@ -608,17 +608,19 @@ class CoSlamEngine:
         return bool(decrease or np.any(trans > p.keyframe_trans_ratio)
                     or np.any(ang > p.keyframe_angle_deg))
 
-    def _run_ba(self, sync: bool = False):
+    def _run_ba(self, sync: bool = False, window: Optional[int] = None):
         """``sync=True`` forces immediate write-back even in async mode —
         used by merge/loop-closure polish BAs, where the realigned state
         must not run unpolished while a deferred result is in flight (the
-        reference cancels+reruns BA around merges for the same reason)."""
+        reference cancels+reruns BA around merges for the same reason).
+        ``window`` widens the keyframe window (merge-time joint BA)."""
         cfg = self.cfg
         if self._pending_ba is not None:     # never two BAs in flight
             self._apply_pending_ba()
         # dense-table fast path (scatter-free, lane-major; ~17x the list
         # solver's LM iterations/s at the production window shape)
-        prob, ring, kf_ok = steps.build_ba_table(self.state, self.K, cfg)
+        prob, ring, kf_ok = steps.build_ba_table(self.state, self.K, cfg,
+                                                 window=window)
         if self.async_ba and not sync:
             solve_prob = prob
             if self.ba_device is not None:
@@ -797,16 +799,19 @@ class CoSlamEngine:
             self._kf_pose_host = None
             self._pose_prefetch = None
             self._kf_prefetch = None
-            # local BA over the merged window (the reference's
+            # joint BA over BOTH groups' recent keyframes (the reference's
             # genMergeInfoVer2 robust BA + recomputeMapPoints,
             # SL_MergeCameraGroup.cpp:557-725,1175-1183): the rigid
             # realignment leaves the moving group's drift accumulated
-            # during separation; a joint polish over both groups'
-            # recent keyframes absorbs most of it
+            # during separation; a WIDE window (merge_ba_window
+            # keyframes, covering the separation era — not just the
+            # last ba_window) lets mid-separation structure and both
+            # chains absorb it, anchored by the fused bridge
+            # observations at the merge keyframe
             self.state = self.state._replace(kfs=steps.add_keyframe(self.state))
             self.kf_frames.append(self.frame)
             self._kf_pose_host = None
-            self._run_ba(sync=True)
+            self._run_ba(sync=True, window=cfg.p.merge_ba_window)
 
     def _try_loop_closure(self, pyr):
         """Intra-group loop closure: when a camera's view re-covers its own
@@ -849,10 +854,11 @@ class CoSlamEngine:
                               "n_inliers": res.n_inliers,
                               "f_anchor": res.f_anchor,
                               "scale": res.scale})
-        # polish the realigned window with a BA at a fresh keyframe
+        # polish the realigned window with a BA at a fresh keyframe (wide
+        # window: the drift window of a loop spans many keyframes too)
         self.state = self.state._replace(kfs=steps.add_keyframe(self.state))
         self.kf_frames.append(self.frame)
-        self._run_ba(sync=True)
+        self._run_ba(sync=True, window=self.cfg.p.merge_ba_window)
 
     def _update_grouping(self):
         """Recompute camera groups with SPLIT hysteresis: a proposal that

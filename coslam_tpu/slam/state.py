@@ -35,7 +35,14 @@ PT_UNCERTAIN = 2
 
 
 class TrackTable(NamedTuple):
-    """KLT slot table + rolling 2D history (Track2D equivalent)."""
+    """KLT slot table + rolling 2D history (Track2D equivalent).
+
+    Two history rings: a dense per-frame ring [C, T, N] (T ~ the track
+    maturity span) feeding triangulation/epipolar voting, and a coarse
+    long-horizon ring [C, TL, N] sampled every ``LONG_STRIDE`` frames so
+    the static-consistency test can span the reference's 60-frame
+    ``isStaticPoint`` window (SL_CoSLAM.cpp:423-425) without tripling
+    every per-frame [C, T, N] stage."""
 
     pos: jnp.ndarray        # [C, N, 2] undistorted px (SLAM space)
     raw: jnp.ndarray        # [C, N, 2] distorted px (tracker space)
@@ -46,6 +53,8 @@ class TrackTable(NamedTuple):
     dyn_votes: jnp.ndarray  # [C, N] i32 epipolar-violation votes (dynamic det.)
     hist: jnp.ndarray       # [C, T, N, 2] undistorted history ring
     hist_valid: jnp.ndarray  # [C, T, N]
+    hist_long: jnp.ndarray   # [C, TL, N, 2] every-LONG_STRIDE-frames ring
+    hist_long_valid: jnp.ndarray  # [C, TL, N]
 
 
 class MapPoints(NamedTuple):
@@ -101,11 +110,23 @@ class SlamState(NamedTuple):
     kfs: KeyframeStore
     pose_hist_R: jnp.ndarray  # [C, T, 3, 3] ring aligned with tracks.hist
     pose_hist_t: jnp.ndarray  # [C, T, 3]
+    pose_hist_long_R: jnp.ndarray  # [C, TL, 3, 3] aligned with hist_long
+    pose_hist_long_t: jnp.ndarray  # [C, TL, 3]
     group_id: jnp.ndarray     # [C] i32 camera-group assignment
+
+
+# sampling stride (frames) of the long-horizon history ring
+LONG_STRIDE = 3
 
 
 def history_len(cfg: SlamConfig) -> int:
     return max(cfg.p.min_feat_track_len + 1, 8)
+
+
+def long_history_len(cfg: SlamConfig) -> int:
+    """Slots in the long-horizon ring: LONG_STRIDE * TL spans the
+    classify window (the reference's numFrame=60 isStaticPoint span)."""
+    return max(-(-cfg.p.classify_frame_window // LONG_STRIDE), 1)
 
 
 def init_state(cfg: SlamConfig) -> SlamState:
@@ -114,6 +135,7 @@ def init_state(cfg: SlamConfig) -> SlamState:
     P = cfg.cap.max_map_points
     KF = cfg.cap.max_keyframes
     T = history_len(cfg)
+    TL = long_history_len(cfg)
     B = (2 * cfg.p.ncc_patch_radius + 1) ** 2
     f32 = jnp.float32
     i32 = jnp.int32
@@ -124,7 +146,9 @@ def init_state(cfg: SlamConfig) -> SlamState:
         mpt=jnp.full((C, N), -1, i32),
         dyn_votes=jnp.zeros((C, N), i32),
         hist=jnp.zeros((C, T, N, 2), f32),
-        hist_valid=jnp.zeros((C, T, N), bool))
+        hist_valid=jnp.zeros((C, T, N), bool),
+        hist_long=jnp.zeros((C, TL, N, 2), f32),
+        hist_long_valid=jnp.zeros((C, TL, N), bool))
     mappts = MapPoints(
         xyz=jnp.zeros((P, 3), f32),
         cov=jnp.zeros((P, 3, 3), f32),
@@ -157,4 +181,6 @@ def init_state(cfg: SlamConfig) -> SlamState:
         tracks=tracks, mappts=mappts, kfs=kfs,
         pose_hist_R=jnp.tile(jnp.eye(3, dtype=f32), (C, T, 1, 1)),
         pose_hist_t=jnp.zeros((C, T, 3), f32),
+        pose_hist_long_R=jnp.tile(jnp.eye(3, dtype=f32), (C, TL, 1, 1)),
+        pose_hist_long_t=jnp.zeros((C, TL, 3), f32),
         group_id=jnp.zeros((C,), i32))

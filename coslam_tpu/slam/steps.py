@@ -100,9 +100,22 @@ def advance_tracks(pyr_prev: Pyramid, pyr_cur: Pyramid, tracks: TrackTable,
     hist_valid = jnp.where(newly[:, None, :], False, tracks.hist_valid)
     hist = tracks.hist.at[:, slot_idx].set(pos)
     hist_valid = hist_valid.at[:, slot_idx].set(valid)
+    # long-horizon ring: written every LONG_STRIDE frames (keeps the
+    # 60-frame classify window affordable)
+    from coslam_tpu.slam.state import LONG_STRIDE
+    TL = tracks.hist_long.shape[1]
+    li = jnp.mod(frame // LONG_STRIDE, TL)
+    wr = jnp.mod(frame, LONG_STRIDE) == 0
+    hist_long_valid = jnp.where(newly[:, None, :], False,
+                                tracks.hist_long_valid)
+    hist_long = tracks.hist_long.at[:, li].set(
+        jnp.where(wr, pos, tracks.hist_long[:, li]))
+    hist_long_valid = hist_long_valid.at[:, li].set(
+        jnp.where(wr, valid, hist_long_valid[:, li]))
     return TrackTable(pos=pos, raw=raw, valid=valid, age=age, gain=gain,
                       mpt=mpt, dyn_votes=dyn_votes, hist=hist,
-                      hist_valid=hist_valid)
+                      hist_valid=hist_valid, hist_long=hist_long,
+                      hist_long_valid=hist_long_valid)
 
 
 def seed_tracks(tracks: TrackTable, pos: jnp.ndarray, valid: jnp.ndarray,
@@ -120,12 +133,21 @@ def seed_tracks(tracks: TrackTable, pos: jnp.ndarray, valid: jnp.ndarray,
     slot_idx = jnp.mod(frame, T)
     hist = jnp.zeros_like(tracks.hist).at[:, slot_idx].set(pos)
     hist_valid = jnp.zeros_like(tracks.hist_valid).at[:, slot_idx].set(valid)
+    from coslam_tpu.slam.state import LONG_STRIDE
+    TL = tracks.hist_long.shape[1]
+    li = jnp.mod(frame // LONG_STRIDE, TL)
+    wr = jnp.mod(frame, LONG_STRIDE) == 0
+    hist_long = jnp.zeros_like(tracks.hist_long).at[:, li].set(
+        jnp.where(wr, pos, 0.0))
+    hist_long_valid = jnp.zeros_like(tracks.hist_long_valid).at[
+        :, li].set(valid & wr)
     return TrackTable(
         pos=pos, raw=raw, valid=valid,
         age=jnp.where(valid, 1, 0), gain=jnp.ones_like(tracks.gain),
         mpt=jnp.where(valid, mpt, -1),
         dyn_votes=jnp.zeros_like(tracks.dyn_votes),
-        hist=hist, hist_valid=hist_valid)
+        hist=hist, hist_valid=hist_valid,
+        hist_long=hist_long, hist_long_valid=hist_long_valid)
 
 
 # ---------------------------------------------------------------------------
@@ -512,6 +534,7 @@ def add_keyframe(state: SlamState) -> KeyframeStore:
 @partial(jax.jit, static_argnames=("cfg",))
 def build_ba_problem(state: SlamState, K: jnp.ndarray,
                      cfg: SlamConfig):
+    free_partial = False
     """Collect the last ``ba_window`` keyframes into a BAProblem
     (RobustBundleRTS::addKeyFrames/addPoints). Returns (problem,
     window_ring_idx [W]) with window position 0 = oldest."""
@@ -554,9 +577,18 @@ def build_ba_problem(state: SlamState, K: jnp.ndarray,
     obs_valid = obs_valid & (jnp.cumsum(obs_valid) - 1
                              < cfg.cap.max_obs_per_ba)
     # gauge: cameras of the two oldest valid keyframes are fixed
-    n_valid = jnp.sum(kf_ok)
-    first_valid = W - n_valid
-    kf_fixed = jnp.arange(W) < (first_valid + 2)
+    # gauge: the two oldest valid keyframes (window positions 0, 1 —
+    # start is clamped at 0, so valid entries always lead) are fixed;
+    # positions beyond kfs.n carry no observations and are held fixed
+    # too. Until the window FILLS, all poses stay fixed (structure-only
+    # refinement) — the reference skips BA entirely below a full window
+    # (SL_CoSLAM.cpp:1737-1757) because young keyframes anchor the
+    # bootstrap datum. An explicit ``window`` override (merge-time joint
+    # BA) frees the mid-window keyframes instead: absorbing separation
+    # drift is the whole point there.
+    kf_fixed = (jnp.arange(W) < 2) | ~kf_ok
+    if not free_partial:
+        kf_fixed = kf_fixed | (jnp.sum(kf_ok) < W)
     cam_fixed = jnp.broadcast_to(kf_fixed[:, None], (W, C)).reshape(W * C)
     prob = BAProblem(
         K=jnp.broadcast_to(K[None], (W, C, 3, 3)).reshape(W * C, 3, 3),
@@ -568,18 +600,23 @@ def build_ba_problem(state: SlamState, K: jnp.ndarray,
     return prob, ring, kf_ok
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def build_ba_table(state: SlamState, K: jnp.ndarray, cfg: SlamConfig):
+@partial(jax.jit, static_argnames=("cfg", "window"))
+def build_ba_table(state: SlamState, K: jnp.ndarray, cfg: SlamConfig,
+                   window: int | None = None):
+    free_partial = window is not None
     """Dense [S, P] window table for ``bundle_adjust_table`` (the
     scatter-free fast path; S = ba_window x cameras). Same collection
     semantics as build_ba_problem: recycled-slot rejection via
     generations, >=2-obs requirement, pre-window anchors, 2-keyframe
-    gauge. Returns (BATableProblem, ring [W], kf_ok [W])."""
+    gauge. ``window`` overrides the keyframe count (the merge-time joint
+    BA widens it to cover both groups' separation-era keyframes,
+    genMergeInfoVer2's role — SL_MergeCameraGroup.cpp:557-725).
+    Returns (BATableProblem, ring [W], kf_ok [W])."""
     from coslam_tpu.solvers.ba import BATableProblem
     kfs, mappts = state.kfs, state.mappts
     KF, C, N = kfs.obs_mpt.shape
     P = mappts.xyz.shape[0]
-    W = cfg.cap.ba_window
+    W = min(window or cfg.cap.ba_window, KF)
     S = W * C
     start = jnp.maximum(kfs.n - W, 0)
     kf_ord = start + jnp.arange(W)
@@ -607,9 +644,18 @@ def build_ba_table(state: SlamState, K: jnp.ndarray, cfg: SlamConfig):
     oldest_frame = kfs.frame[ring[jnp.argmax(kf_ok)]]
     point_fixed = (cnt < 2) | (mappts.first_frame < oldest_frame)
     valid = tbl_ok & (cnt >= 2)[None]
-    n_valid = jnp.sum(kf_ok)
-    first_valid = W - n_valid
-    kf_fixed = jnp.arange(W) < (first_valid + 2)
+    # gauge: the two oldest valid keyframes (window positions 0, 1 —
+    # start is clamped at 0, so valid entries always lead) are fixed;
+    # positions beyond kfs.n carry no observations and are held fixed
+    # too. Until the window FILLS, all poses stay fixed (structure-only
+    # refinement) — the reference skips BA entirely below a full window
+    # (SL_CoSLAM.cpp:1737-1757) because young keyframes anchor the
+    # bootstrap datum. An explicit ``window`` override (merge-time joint
+    # BA) frees the mid-window keyframes instead: absorbing separation
+    # drift is the whole point there.
+    kf_fixed = (jnp.arange(W) < 2) | ~kf_ok
+    if not free_partial:
+        kf_fixed = kf_fixed | (jnp.sum(kf_ok) < W)
     cam_fixed = jnp.broadcast_to(kf_fixed[:, None], (W, C)).reshape(S)
     # --- dynamic-snapshot columns (SL_CoSLAMRobustBA.cpp:66-77): each
     # keyframe's deep-copied dynamic points become independent landmarks
@@ -696,8 +742,13 @@ def _apply_ba_core(state: SlamState, R_res, t_res, X_res, n_bad, ring,
         jnp.einsum("ctij,cjk->ctik", state.pose_hist_R, D_R))
     ph_t = jnp.einsum("ctij,cj->cti", state.pose_hist_R, D_t) \
         + state.pose_hist_t
+    phl_R = orthonormalize_fast(
+        jnp.einsum("ctij,cjk->ctik", state.pose_hist_long_R, D_R))
+    phl_t = jnp.einsum("ctij,cj->cti", state.pose_hist_long_R, D_t) \
+        + state.pose_hist_long_t
     return state._replace(R=R_cur, t=t_cur, kfs=kfs, mappts=mappts,
-                          pose_hist_R=ph_R, pose_hist_t=ph_t)
+                          pose_hist_R=ph_R, pose_hist_t=ph_t,
+                          pose_hist_long_R=phl_R, pose_hist_long_t=phl_t)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -752,19 +803,32 @@ def apply_ba_results(state: SlamState, prob: BAProblem, res: BAResult,
         jnp.einsum("ctij,cjk->ctik", state.pose_hist_R, D_R))
     ph_t = jnp.einsum("ctij,cj->cti", state.pose_hist_R, D_t) \
         + state.pose_hist_t
+    phl_R = orthonormalize_fast(
+        jnp.einsum("ctij,cjk->ctik", state.pose_hist_long_R, D_R))
+    phl_t = jnp.einsum("ctij,cj->cti", state.pose_hist_long_R, D_t) \
+        + state.pose_hist_long_t
     return state._replace(R=R_cur, t=t_cur, kfs=kfs, mappts=mappts,
-                          pose_hist_R=ph_R, pose_hist_t=ph_t)
+                          pose_hist_R=ph_R, pose_hist_t=ph_t,
+                          pose_hist_long_R=phl_R, pose_hist_long_t=phl_t)
 
 
 @jax.jit
 def push_pose_history(state: SlamState) -> SlamState:
     """Record the current pose into the ring slot for the current frame
     (call after pose_update, aligned with the track-history write)."""
+    from coslam_tpu.slam.state import LONG_STRIDE
     T = state.pose_hist_R.shape[1]
     s = jnp.mod(state.frame, T)
+    TL = state.pose_hist_long_R.shape[1]
+    sl = jnp.mod(state.frame // LONG_STRIDE, TL)
+    wr = jnp.mod(state.frame, LONG_STRIDE) == 0
     return state._replace(
         pose_hist_R=state.pose_hist_R.at[:, s].set(state.R),
-        pose_hist_t=state.pose_hist_t.at[:, s].set(state.t))
+        pose_hist_t=state.pose_hist_t.at[:, s].set(state.t),
+        pose_hist_long_R=state.pose_hist_long_R.at[:, sl].set(
+            jnp.where(wr, state.R, state.pose_hist_long_R[:, sl])),
+        pose_hist_long_t=state.pose_hist_long_t.at[:, sl].set(
+            jnp.where(wr, state.t, state.pose_hist_long_t[:, sl])))
 
 
 @partial(jax.jit, static_argnames=("cfg",))

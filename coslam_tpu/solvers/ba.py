@@ -128,6 +128,11 @@ def _ba_normal_terms(K, R, t, X, prob: BAProblem, w, axis_name=None):
     behind = Xc[:, 2] <= 1e-6
     we = jnp.where(behind, 0.0, w)
     Jc, Jp = _obs_jacobians(Km, Rm, Xc)
+    # zero dead observations' Jacobians before products (see _table_terms:
+    # z ~ 0 rows overflow f32 in the products and 0 * inf = NaN)
+    live = (we > 0)[:, None, None]
+    Jc = jnp.where(live, Jc, 0.0)
+    Jp = jnp.where(live, Jp, 0.0)
     A_cc = jnp.einsum("o,oki,okj->oij", we, Jc, Jc)      # [O,6,6]
     A_pp = jnp.einsum("o,oki,okj->oij", we, Jp, Jp)      # [O,3,3]
     A_cp = jnp.einsum("o,oki,okj->oij", we, Jc, Jp)      # [O,6,3]
@@ -263,6 +268,15 @@ def _table_terms(K, R, t, Xl, prob: BATableProblem, w, axis_name=None):
     ru, rv, z, Ju6, Jv6, Jup, Jvp = _table_jacobians(K, R, t, Xl,
                                                      prob.obs_px)
     ws = jnp.where(z <= 1e-6, 0.0, w)
+    # zero dead entries' Jacobians BEFORE any product: a z ~ 0 garbage
+    # column (empty map slot) has Jacobian entries ~ fx/z^2 whose
+    # products overflow f32 to inf, and 0-weight * inf = NaN would poison
+    # the whole accumulated block
+    live = ws > 0
+    Ju6 = [jnp.where(live, a, 0.0) for a in Ju6]
+    Jv6 = [jnp.where(live, a, 0.0) for a in Jv6]
+    Jup = [jnp.where(live, a, 0.0) for a in Jup]
+    Jvp = [jnp.where(live, a, 0.0) for a in Jvp]
     Hcc = jnp.stack([jnp.stack(
         [jnp.sum(ws * (Ju6[i] * Ju6[j] + Jv6[i] * Jv6[j]), axis=1)
          for j in range(6)], -1) for i in range(6)], -2)     # [S, 6, 6]

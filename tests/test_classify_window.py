@@ -9,6 +9,7 @@ import pytest
 
 from coslam_tpu.config import small_test_config
 from coslam_tpu.slam.state import (init_state, history_len,
+                                   long_history_len, LONG_STRIDE,
                                    ST_ALIVE, ST_FALSE, PT_STATIC)
 from coslam_tpu.slam.classify import classify_map_points
 
@@ -122,5 +123,86 @@ def test_classify_frame_window_gates_history(window, expect_fail):
     if expect_fail:
         assert int(out.mappts.bad_votes[0]) == 1
     else:
+        assert int(out.mappts.bad_votes[0]) == 0
+        assert int(out.mappts.status[0]) == ST_ALIVE
+
+
+@pytest.mark.parametrize("window,expect_fail", [(7, False), (20, True)])
+def test_long_window_catches_slow_mover(window, expect_fail):
+    """A point whose recent history matches its stored position but whose
+    older history (beyond the dense ring span) does not — e.g. an object
+    that moved and then stopped — passes the dense-ring-only test and is
+    caught only when ``classify_frame_window`` actually spans the long
+    horizon via the every-LONG_STRIDE-frames ring (the reference checks
+    the full numFrame=60 span, SL_CoSLAM.cpp:423-425)."""
+    cfg, st, K, R, t = _three_cam_setup(window=window)
+    T = history_len(cfg)
+    TL = long_history_len(cfg)
+    assert window <= T - 1 or window <= LONG_STRIDE * TL
+    X = np.array([0.0, 0.0, 5.0], np.float32)
+    frame = 60
+    tracks = st.tracks
+    pos = np.zeros(tracks.pos.shape, np.float32)
+    valid = np.zeros(tracks.valid.shape, bool)
+    mpt = np.full(tracks.mpt.shape, -1, np.int32)
+    age = np.zeros(tracks.age.shape, np.int32)
+    hist = np.zeros(tracks.hist.shape, np.float32)
+    hist_ok = np.zeros(tracks.hist_valid.shape, bool)
+    hist_l = np.zeros(tracks.hist_long.shape, np.float32)
+    hist_l_ok = np.zeros(tracks.hist_long_valid.shape, bool)
+    ph_R = np.asarray(st.pose_hist_R).copy()
+    ph_t = np.asarray(st.pose_hist_t).copy()
+    phl_R = np.asarray(st.pose_hist_long_R).copy()
+    phl_t = np.asarray(st.pose_hist_long_t).copy()
+    off = np.array([50.0, 0.0], np.float32)   # where the object used to be
+    for c in range(2):                        # two views only (nv = 2)
+        px = _project(K[c], R[c], t[c], X)
+        pos[c, 0] = px
+        valid[c, 0] = True
+        mpt[c, 0] = 0
+        age[c, 0] = 40
+        for k in range(1, T):                 # dense ring: consistent
+            ring = (frame - k) % T
+            hist[c, ring, 0] = px
+            hist_ok[c, ring, 0] = True
+            ph_R[c, ring] = R[c]
+            ph_t[c, ring] = t[c]
+        m_cur = frame // LONG_STRIDE
+        for j in range(TL):                   # long ring
+            m = m_cur - j
+            q = m * LONG_STRIDE               # the frame slot j holds
+            li = m % TL
+            k = frame - q                     # offset back from now
+            # recent long entries consistent; older than the dense span
+            # the object sat 50 px away
+            hist_l[c, li, 0] = px if k <= T - 1 else px + off
+            hist_l_ok[c, li, 0] = True
+            phl_R[c, li] = R[c]
+            phl_t[c, li] = t[c]
+    tracks = tracks._replace(pos=jnp.asarray(pos), valid=jnp.asarray(valid),
+                             mpt=jnp.asarray(mpt), age=jnp.asarray(age),
+                             hist=jnp.asarray(hist),
+                             hist_valid=jnp.asarray(hist_ok),
+                             hist_long=jnp.asarray(hist_l),
+                             hist_long_valid=jnp.asarray(hist_l_ok))
+    mp = st.mappts
+    mp = mp._replace(
+        xyz=mp.xyz.at[0].set(jnp.asarray(X)),
+        status=mp.status.at[0].set(ST_ALIVE),
+        ptype=mp.ptype.at[0].set(PT_STATIC))
+    st = st._replace(tracks=tracks, mappts=mp,
+                     R=jnp.asarray(R), t=jnp.asarray(t),
+                     pose_hist_R=jnp.asarray(ph_R),
+                     pose_hist_t=jnp.asarray(ph_t),
+                     pose_hist_long_R=jnp.asarray(phl_R),
+                     pose_hist_long_t=jnp.asarray(phl_t),
+                     frame=jnp.asarray(frame, jnp.int32))
+    out = classify_map_points(st, jnp.asarray(K), cfg)
+    if expect_fail:
+        # the long-horizon inconsistency is seen -> bad vote accrues
+        assert int(out.mappts.bad_votes[0]) == 1
+    else:
+        # dense-ring-only window: the recent history explains the stored
+        # position, the point passes
         assert int(out.mappts.bad_votes[0]) == 0
         assert int(out.mappts.status[0]) == ST_ALIVE

@@ -84,12 +84,14 @@ def test_post_merge_alignment(split_merge_run):
     a1 = ate_rmse(*eng.trajectory(1, True), Rs_gt[1], ts_gt[1])
     assert a0 < 0.15, a0
     # cam1's solo stretch is a pure-rotation scale-drift regime; the merge
-    # realignment (graded Sim(3)) recovers the pose but the mid-separation
-    # SHAPE error is only reduced, not eliminated (the full fix is scale
-    # variables in the export chain graph — ROADMAP). Bound chosen with
-    # margin over the observed ~0.45 band so run-to-run numeric chaos
-    # (lane-major rewrites shift KLT tie-breaks) doesn't flap the test.
-    assert a1 < 0.55, a1
+    # realignment (graded Sim(3)) recovers the pose and the merge-time
+    # JOINT wide-window BA (merge_ba_window keyframes, genMergeInfoVer2's
+    # role) absorbs part of the mid-separation shape error: observed
+    # ~0.36 with it vs ~0.50 with only the narrow post-merge polish. The
+    # bound is set between the two so a regression to narrow-polish
+    # behavior fails while run-to-run numeric chaos (lane-major rewrites
+    # shift KLT tie-breaks) doesn't flap the test.
+    assert a1 < 0.45, a1
     # final relative pose between the cameras within a few degrees
     R0, _ = eng.trajectory(0, True)
     R1, _ = eng.trajectory(1, True)
