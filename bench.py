@@ -34,7 +34,7 @@ import time
 import numpy as np
 
 _T_START = time.perf_counter()
-BUDGET = float(os.environ.get("COSLAM_BENCH_BUDGET_S", "460"))
+BUDGET = float(os.environ.get("COSLAM_BENCH_BUDGET_S", "900"))
 
 
 def _left():

@@ -41,10 +41,11 @@ def run_dryrun(n_devices: int, h: int = 96, w: int = 128,
     cam_sh = NamedSharding(mesh, P("cam"))
     imgs_prev = jax.device_put(imgs, cam_sh)
     imgs_cur = jax.device_put(jnp.roll(imgs, 1, axis=-1), cam_sh)
+    rep_sh0 = NamedSharding(mesh, P())
     K = jax.device_put(jnp.asarray(np.broadcast_to(
         np.array([[120.0, 0, w / 2], [0, 120.0, h / 2], [0, 0, 1]],
-                 dtype=np.float32), (C, 3, 3))), cam_sh)
-    kc = jax.device_put(jnp.zeros((C, 5), jnp.float32), cam_sh)
+                 dtype=np.float32), (C, 3, 3))), rep_sh0)
+    kc = jax.device_put(jnp.zeros((C, 5), jnp.float32), rep_sh0)
 
     # seed the track tables so tracking/pose do real work
     from coslam_tpu.ops import detect_corners
@@ -56,8 +57,9 @@ def run_dryrun(n_devices: int, h: int = 96, w: int = 128,
                                K, kc, state.frame)
     state = state._replace(tracks=tracks)
 
-    # 1) full fused frame step, camera-sharded via GSPMD
-    state, pyr, stats = frame_step(state, pyr0, imgs_cur, K, kc, cfg)
+    # 1) full fused frame step: pixels camera-sharded, state replicated
+    state, pyr, stats = frame_step(state, pyr0, imgs_cur, K, kc, cfg,
+                                   mesh=mesh)
     n_tracked = np.asarray(stats.n_tracked)
     if verbose:
         print(f"[dryrun] fused step on {n_devices}-device mesh: "

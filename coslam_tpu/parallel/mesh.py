@@ -32,28 +32,23 @@ def make_cam_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def state_pspecs(state: SlamState) -> SlamState:
-    """PartitionSpec pytree matching SlamState."""
-    cam = P("cam")
+    """PartitionSpec pytree matching SlamState: fully REPLICATED.
+
+    The multi-chip layout is "shard pixels, replicate points"
+    (fused.frame_step's mesh mode): the HBM-heavy per-camera work
+    (pyramids, KLT windows, corner maps — data that never lives in
+    SlamState) is sharded one-camera-per-device, while the track/point
+    tables — a few MB — replicate so every cross-camera stage
+    (classification, registration, BA collection) is local on every
+    device. Camera-sharding the state instead costs ~2000 GSPMD-inserted
+    collectives per step (every scalar camera index into a sharded axis
+    becomes a permute/gather; measured on the 8-device virtual mesh)."""
     rep = P()
-    kf_cam = P(None, "cam")
-    return SlamState(
-        frame=rep,
-        R=cam, t=cam,
-        tracks=type(state.tracks)(*([cam] * len(state.tracks))),
-        mappts=type(state.mappts)(*([rep] * len(state.mappts))),
-        kfs=type(state.kfs)(
-            frame=rep, R=kf_cam, t=kf_cam, obs_pos=kf_cam, obs_mpt=kf_cam,
-            obs_gen=kf_cam, dyn_xyz=rep, dyn_obs_px=kf_cam,
-            dyn_obs_ok=kf_cam, n=rep),
-        pose_hist_R=cam, pose_hist_t=cam,
-        pose_hist_long_R=cam, pose_hist_long_t=cam,
-        group_id=cam)
+    return jax.tree_util.tree_map(lambda _: rep, state)
 
 
 def shard_state(state: SlamState, mesh: Mesh) -> SlamState:
-    """Place a SlamState onto the mesh with the camera-parallel layout.
-    mappts.ncc has a camera axis at position 1 but is kept replicated
-    (every camera matches against every point's appearance)."""
+    """Place a SlamState onto the mesh (replicated — see state_pspecs)."""
     specs = state_pspecs(state)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)

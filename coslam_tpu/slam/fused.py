@@ -45,18 +45,65 @@ class FrameStats(NamedTuple):
                              # transfer instead of 3 host pulls per frame)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+@partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(0, 1))
 def frame_step(state: SlamState, pyr_prev, imgs_cur: jnp.ndarray,
-               K: jnp.ndarray, kc: jnp.ndarray, cfg: SlamConfig):
+               K: jnp.ndarray, kc: jnp.ndarray, cfg: SlamConfig,
+               mesh=None):
     """One tracked frame: track -> pose -> refine -> map. Returns
     (state', pyr_cur, FrameStats). The previous frame's pyramid is carried
-    between calls (building it once per frame, not twice)."""
+    between calls (building it once per frame, not twice).
+
+    ``mesh``: a camera-axis jax Mesh for multi-chip runs. The SPMD layout
+    is "shard pixels, replicate points": pyramids/KLT windows/corner maps
+    (the HBM-heavy work) are sharded one-camera-per-device, while the
+    small track/point tables are replicated and all cross-camera stages
+    (pose gating writes, classification, mapping) compute replicated —
+    the camera results cross the boundary ONCE per frame (a few hundred
+    KB all-gather over ICI) instead of GSPMD inserting per-index
+    collectives into every unrolled per-camera loop (measured ~2000
+    collectives/step without the constraints)."""
     if imgs_cur.dtype != jnp.float32:     # uint8 frames upload 4x smaller
         imgs_cur = imgs_cur.astype(jnp.float32)
-    pyr_cur = build_pyramid(imgs_cur, cfg.klt.n_levels)
     img_hw = (imgs_cur.shape[1], imgs_cur.shape[2])
-    tracks = steps.advance_tracks(pyr_prev, pyr_cur, state.tracks, K, kc,
-                                  state.frame + 1, cfg)
+    ncc_blocks = None
+    if mesh is None:
+        pyr_cur = build_pyramid(imgs_cur, cfg.klt.n_levels)
+        tracks = steps.advance_tracks(pyr_prev, pyr_cur, state.tracks, K,
+                                      kc, state.frame + 1, cfg)
+    else:
+        # explicit SPMD for the pixel-touching work: pyramid + KLT +
+        # corner redetect + NCC extraction run inside shard_map, one
+        # camera block per device (all camera-local), and ONLY the
+        # finished [C, N, *] table crosses to replicated — a few hundred
+        # KB all-gathered once per frame over ICI. (Leaving this to
+        # GSPMD propagation instead inserts ~900-2000 small collectives
+        # per step: every scalar camera index into a sharded axis
+        # becomes its own permute/gather.)
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from coslam_tpu.ops.ncc import extract_ncc_blocks_batched
+        cam, rep = P("cam"), P()
+
+        def kernel(imgs_l, pyr_prev_l, tracks_l, K_l, kc_l, frame_l):
+            pyr_l = build_pyramid(imgs_l, cfg.klt.n_levels)
+            tr_l = steps.advance_tracks(pyr_prev_l, pyr_l, tracks_l, K_l,
+                                        kc_l, frame_l, cfg)
+            blk_l, ok_l = extract_ncc_blocks_batched(
+                pyr_l.imgs[0], tr_l.raw, cfg.p.ncc_patch_radius)
+            return pyr_l, tr_l, blk_l, ok_l
+
+        pyr_spec = jax.tree.map(lambda _: cam, pyr_prev)
+        tr_spec = jax.tree.map(lambda _: cam, state.tracks)
+        pyr_cur, tracks, blk, blk_ok = shard_map(
+            kernel, mesh=mesh,
+            in_specs=(cam, pyr_spec, tr_spec, cam, cam, rep),
+            out_specs=(pyr_spec, tr_spec, cam, cam),
+            check_rep=False,
+        )(imgs_cur, pyr_prev, state.tracks, K, kc, state.frame + 1)
+        rep_sh = NamedSharding(mesh, rep)
+        con = jax.lax.with_sharding_constraint
+        tracks = jax.tree.map(lambda a: con(a, rep_sh), tracks)
+        ncc_blocks = (con(blk, rep_sh), con(blk_ok, rep_sh))
     state = state._replace(tracks=tracks, frame=state.frame + 1)
     out = steps.pose_update(state, K, kc, img_hw, cfg)
     state = state._replace(R=out.R, t=out.t, tracks=out.tracks,
@@ -74,7 +121,8 @@ def frame_step(state: SlamState, pyr_prev, imgs_cur: jnp.ndarray,
     else:
         n_static = jnp.zeros((), jnp.int32)
         n_dynamic = jnp.zeros((), jnp.int32)
-    mappts, tracks2, n_new = steps.new_map_points(state, pyr_cur, K, kc, cfg)
+    mappts, tracks2, n_new = steps.new_map_points(state, pyr_cur, K, kc,
+                                                  cfg, blocks=ncc_blocks)
     mappts = steps.lifecycle_update(mappts, state.frame, cfg)
     state = state._replace(mappts=mappts, tracks=tracks2)
     # dynamic snapshot (up to D slots) for the host-side trajectory log

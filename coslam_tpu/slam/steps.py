@@ -68,7 +68,11 @@ def advance_tracks(pyr_prev: Pyramid, pyr_cur: Pyramid, tracks: TrackTable,
                    K: jnp.ndarray, kc: jnp.ndarray, frame: jnp.ndarray,
                    cfg: SlamConfig) -> TrackTable:
     """KLT-track all slots, then refill dead slots from fresh corners
-    (the every-frame ``redetect`` protocol, GPUKLT.cpp:144-161)."""
+    (the every-frame ``redetect`` protocol, GPUKLT.cpp:144-161).
+
+    Entirely camera-local — the multi-chip fused step runs this whole
+    function inside shard_map, one camera block per device
+    (fused.frame_step mesh mode)."""
     C, N = tracks.valid.shape
     T = tracks.hist.shape[1]
     res = klt_track(pyr_prev, pyr_cur, tracks.raw, tracks.valid, cfg.klt)
@@ -329,10 +333,15 @@ def pose_update(state: SlamState, K: jnp.ndarray, kc: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def new_map_points(state: SlamState, pyr_cur: Pyramid, K: jnp.ndarray,
-                   kc: jnp.ndarray, cfg: SlamConfig):
+                   kc: jnp.ndarray, cfg: SlamConfig, blocks=None):
     """Two-view triangulation of mature unmapped tracks against the
     parallax-widest view in the rolling history (newMapPoints,
-    SL_SingleSLAM.cpp:922-1050). Returns (mappts', tracks', n_new)."""
+    SL_SingleSLAM.cpp:922-1050). Returns (mappts', tracks', n_new).
+
+    ``blocks``: optional pre-extracted ([C,N,B] NCC blocks, [C,N] mask)
+    at tracks.raw — the multi-chip step extracts them inside the
+    per-camera shard_map so this function never touches the (sharded)
+    pyramid."""
     tracks, mappts = state.tracks, state.mappts
     C, N = tracks.valid.shape
     T = tracks.hist.shape[1]
@@ -434,9 +443,12 @@ def new_map_points(state: SlamState, pyr_cur: Pyramid, K: jnp.ndarray,
         * p.pixel_err_var                                          # [C,N,3,3]
     # NCC appearance at the current frame (whole camera batch, Pallas
     # window kernel on TPU)
-    from coslam_tpu.ops.ncc import extract_ncc_blocks_batched
-    blocks, blk_ok = extract_ncc_blocks_batched(pyr_cur.imgs[0], tracks.raw,
-                                                p.ncc_patch_radius)
+    if blocks is None:
+        from coslam_tpu.ops.ncc import extract_ncc_blocks_batched
+        blocks, blk_ok = extract_ncc_blocks_batched(
+            pyr_cur.imgs[0], tracks.raw, p.ncc_patch_radius)
+    else:
+        blocks, blk_ok = blocks
     # refresh stored appearance of points observed this frame, but only
     # while the new view still resembles the stored one (NCC >= 0.8) —
     # an unconditional refresh drifts the template toward oblique/blurred

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--frames", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--small", action="store_true",
+                    help="tiny capacities (smoke tests: fast compiles)")
     args = ap.parse_args()
     import jax
     if args.cpu:
@@ -56,7 +58,11 @@ def main():
     loader = FrameLoader(raw_paths, mode=MODE_RAW,
                          start_frames=spec.skip_frames)
     h, w = loader.hw
-    cfg = SlamConfig(num_cameras=C, image_height=h, image_width=w)
+    if args.small:
+        from coslam_tpu.config import small_test_config
+        cfg = small_test_config(num_cameras=C, h=h, w=w)
+    else:
+        cfg = SlamConfig(num_cameras=C, image_height=h, image_width=w)
     eng = CoSlamEngine(cfg, np.stack(Ks), np.stack(kcs))
     t0 = time.time()
     n = 0
