@@ -101,6 +101,30 @@ def main():
     print(json.dumps(out), flush=True)          # primary line: ALWAYS out
     _note(f"core: {fps:.1f} f/s")
 
+    # --- chunked core (pure device compute) -----------------------------
+    # lax.scan over the fused step: one dispatch for 30 frames, so the
+    # per-call dispatch/tunnel overhead (~2 ms/call here) drops out. This
+    # is the device-compute ceiling and the offline/batch path's number.
+    if _left() > 90:
+        from coslam_tpu.slam.fused import frame_steps_scan
+        seq = jnp.broadcast_to(imgs_cur[None], (30, C, H, W))
+        # frame_steps_scan donates (state, pyramid): build fresh ones
+        st2, pyr2, _ = frame_steps_scan(
+            init_state(cfg), build_pyramid(imgs_prev, cfg.klt.n_levels),
+            seq, K, kc, cfg)
+        _ = np.asarray(st2.frame)
+        st2 = init_state(cfg)
+        pyr2 = build_pyramid(imgs_prev, cfg.klt.n_levels)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            st2, pyr2, _st = frame_steps_scan(st2, pyr2, seq, K, kc, cfg)
+        _ = np.asarray(st2.frame)
+        scan_fps = 90 / (time.perf_counter() - t0)
+        out["core_scan_frames_per_s"] = round(scan_fps, 2)
+        out["core_scan_vs_baseline"] = round(scan_fps / baseline_fps, 2)
+        print(json.dumps(out), flush=True)
+        _note(f"core scan: {scan_fps:.1f} f/s")
+
     # --- BA throughput --------------------------------------------------
     # production-shaped window (5 keyframes x 3 cameras, 2048 points,
     # ~6k observations), LM iterations per second.

@@ -187,3 +187,28 @@ def frame_step_packed(state: SlamState, pyr_prev, imgs_cur: jnp.ndarray,
     (the engine's production path)."""
     state, pyr_cur, fs = frame_step(state, pyr_prev, imgs_cur, K, kc, cfg)
     return state, pyr_cur, pack_stats(fs)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def frame_steps_scan(state: SlamState, pyr_prev, imgs_seq: jnp.ndarray,
+                     K: jnp.ndarray, kc: jnp.ndarray, cfg: SlamConfig):
+    """Process a CHUNK of frames in one device call: lax.scan over
+    frame_step. For offline/batch processing (video already decoded) this
+    removes the per-frame dispatch/tunnel overhead entirely — the pure
+    device-compute throughput of the tracked-frame core. Host cadence
+    (keyframes, BA, merge) does not run inside the chunk; the engine uses
+    this between cadence points or for bulk re-tracking.
+
+    imgs_seq: [F, C, H, W]. Returns (state', pyr_last, packed stats
+    [F, S] — one pack_stats row per frame)."""
+    if imgs_seq.dtype != jnp.float32:
+        imgs_seq = imgs_seq.astype(jnp.float32)
+
+    def body(carry, imgs):
+        st, pyr = carry
+        st, pyr, fs = frame_step(st, pyr, imgs, K, kc, cfg)
+        return (st, pyr), pack_stats(fs)
+
+    (state, pyr_prev), stats = jax.lax.scan(body, (state, pyr_prev),
+                                            imgs_seq)
+    return state, pyr_prev, stats

@@ -229,22 +229,28 @@ def main():
                     help="short sanity run (60 frames)")
     args = ap.parse_args()
     names = args.configs or list(CONFIGS)
+    path = os.path.join(os.path.dirname(__file__), "..", "ACCURACY.json")
+
+    def merged(rows):
+        """New rows merged over any existing ACCURACY.json rows."""
+        old = {}
+        if os.path.exists(path):
+            old = {r["config"]: r for r in json.load(open(path))}
+        for r in rows:
+            old[r["config"]] = r
+        return [old[k] for k in CONFIGS if k in old]
+
     rows = []
     for name in names:
         F = args.frames or (60 if args.small else DEFAULT_FRAMES[name])
         rng = np.random.default_rng(7)
         print(f"== {name} ({F} frames)", flush=True)
         rows.append(CONFIGS[name](F, rng))
-    # merge with existing rows (re-running a subset updates its rows)
-    path = os.path.join(os.path.dirname(__file__), "..", "ACCURACY.json")
-    if os.path.exists(path) and not args.small:
-        old = {r["config"]: r for r in json.load(open(path))}
-        for r in rows:
-            old[r["config"]] = r
-        rows = [old[k] for k in CONFIGS if k in old]
-    if not args.small:
-        write_accuracy_md(rows)
-    else:
+        if not args.small:
+            # write after EVERY config: an interrupted run still leaves
+            # committed evidence for the completed configs
+            write_accuracy_md(merged(rows))
+    if args.small:
         print(json.dumps(rows, indent=1))
 
 
