@@ -459,9 +459,15 @@ class CoSlamEngine:
         joint = False
         if C > 1:
             # tracking-failure detection -> joint multi-camera robust pose
-            # (interCamPoseUpdate, SL_CoSLAM.cpp:308-365)
+            # (interCamPoseUpdate, SL_CoSLAM.cpp:308-365). A camera with
+            # ZERO static inliers (e.g. a mover filling its view) is the
+            # headline case: it rides the joint solve through same-frame
+            # dynamic points shared with the other cameras — the paper's
+            # collaboration mechanism. Only the group's TOTAL static
+            # support must hold the frame; an entirely unconstrained
+            # camera just keeps its prior pose under the damped solve.
             weak = (n_inl < p.min_static_for_ok) | (cover < p.min_static_cover)
-            if weak.any() and (n_inl >= 4).all():
+            if weak.any() and n_inl.sum() >= p.min_static_for_ok:
                 from coslam_tpu.slam.intercam import joint_pose_update
                 R, t = joint_pose_update(self.state, self.K, cfg)
                 self.state = steps.push_pose_history(
@@ -763,6 +769,29 @@ class CoSlamEngine:
             if g[cand.cam_a] == g[cand.cam_b]:
                 f_sep = f
                 break
+        # short separation (a grouping flap around the threshold — e.g.
+        # a mover briefly occluding the shared view): the groups still
+        # share one consistent map, so re-unify WITHOUT realignment. A
+        # bridge-estimated Sim(3) from a few-frame flap is pure noise,
+        # and applying its scale to drift that does not exist poisons
+        # the whole keyframe chain.
+        if self.frame - f_sep < cfg.p.merge_min_sep_frames:
+            ga = self.group_id[cand.cam_a]
+            gb = self.group_id[cand.cam_b]
+            self.group_id = np.where(self.group_id == gb, ga,
+                                     self.group_id)
+            self.state = self.state._replace(
+                group_id=jnp.asarray(self.group_id))
+            from coslam_tpu.slam.intercam import register_map_points
+            self.state, _ = register_map_points(
+                self.state, pyr, self.K, cfg,
+                max_age=cfg.p.num_act_frames, gate_scale=3.0)
+            self._last_merge = self.frame
+            self.merge_log.append({
+                "frame": self.frame, "cam_a": cand.cam_a,
+                "cam_b": cand.cam_b, "scale": 1.0, "n_matches": 0,
+                "scale_move": 1.0, "reunify": True})
+            return
         res = merge_groups(self.state, cfg, pyr, self.K, self.kc,
                            self.group_id, cands[0], f_sep=f_sep)
         self._last_merge = self.frame

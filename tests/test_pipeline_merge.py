@@ -65,8 +65,12 @@ def test_group_splits_during_separation(split_merge_run):
 
 def test_merge_happens_on_reoverlap(split_merge_run):
     eng, _, _, _ = split_merge_run
-    assert len(eng.merge_log) >= 1
-    m = eng.merge_log[-1]            # the system may refine across merges
+    # the REAL (Sim(3)-realigning) merge; short grouping flaps after it
+    # may append no-realign "reunify" entries, which is the intended
+    # protection against re-applying scale to drift that does not exist
+    real = [m for m in eng.merge_log if not m.get("reunify")]
+    assert len(real) >= 1
+    m = real[-1]
     assert m["frame"] >= 70          # after the views re-overlap
     assert 0.3 < m["scale"] < 3.0    # metric scale recovered sanely
     assert m["n_matches"] >= 25
