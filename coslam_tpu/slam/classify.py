@@ -146,7 +146,16 @@ def _windowed_static_err(state: SlamState, K: jnp.ndarray,
 
     def window_counts(Xs, hpos, hok, Rp, tp, ok, c):
         """ok/good counts [N] of one camera's [T', N] history block
-        against the stored positions Xs (3 x [N])."""
+        against the stored positions Xs (3 x [N]).
+
+        Per-frame reliability gate: a historic frame where MOST points'
+        checks fail is a glitched/stale historic pose, not evidence of
+        motion — a real mover fails only its own checks while the static
+        majority passes. The reference never needs this because its BA
+        write-back rewrites the per-frame pose list that isStaticPoint
+        reprojects with (SL_CoSLAMRobustBA.cpp:230-247); our history
+        rings keep the poses as-estimated, so one transient pose glitch
+        would otherwise condemn every long-lived point 15 frames later."""
         Xc = [Rp[:, i, 0, None] * Xs[0][None] + Rp[:, i, 1, None] * Xs[1][None]
               + Rp[:, i, 2, None] * Xs[2][None] + tp[:, i, None]
               for i in range(3)]                            # 3 x [T', N]
@@ -156,6 +165,11 @@ def _windowed_static_err(state: SlamState, K: jnp.ndarray,
         dv = fy[c] * Xc[1] * zi + cy[c] - hpos[:, :, 1]
         e2 = du * du + dv * dv
         good = ok & (z > 1e-3) & (e2 < gate * gate)
+        tot_ok = jnp.sum(ok, axis=1, dtype=jnp.int32)       # [T']
+        tot_good = jnp.sum(good, axis=1, dtype=jnp.int32)   # [T']
+        reliable = (tot_ok < 8) | (2 * tot_good >= tot_ok)
+        ok = ok & reliable[:, None]
+        good = good & reliable[:, None]
         return (jnp.sum(ok, axis=0, dtype=jnp.int32),
                 jnp.sum(good, axis=0, dtype=jnp.int32))
 

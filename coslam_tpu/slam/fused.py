@@ -45,10 +45,11 @@ class FrameStats(NamedTuple):
                              # transfer instead of 3 host pulls per frame)
 
 
-@partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(0, 1))
+@partial(jax.jit, static_argnames=("cfg", "mesh"),
+         donate_argnums=(0, 1))
 def frame_step(state: SlamState, pyr_prev, imgs_cur: jnp.ndarray,
                K: jnp.ndarray, kc: jnp.ndarray, cfg: SlamConfig,
-               mesh=None):
+               mesh=None, large_err=False):
     """One tracked frame: track -> pose -> refine -> map. Returns
     (state', pyr_cur, FrameStats). The previous frame's pyramid is carried
     between calls (building it once per frame, not twice).
@@ -105,7 +106,12 @@ def frame_step(state: SlamState, pyr_prev, imgs_cur: jnp.ndarray,
         tracks = jax.tree.map(lambda a: con(a, rep_sh), tracks)
         ncc_blocks = (con(blk, rep_sh), con(blk_ok, rep_sh))
     state = state._replace(tracks=tracks, frame=state.frame + 1)
-    out = steps.pose_update(state, K, kc, img_hw, cfg)
+    # large_err: post-merge/loop settle window — the realigned poses meet
+    # widened Mahalanobis gates so inliers are not shed exactly when
+    # support is scarcest (the reference's largeErr frames,
+    # SL_CoSLAM.cpp:371-374,407)
+    out = steps.pose_update(state, K, kc, img_hw, cfg,
+                            large_err=large_err)
     state = state._replace(R=out.R, t=out.t, tracks=out.tracks,
                            mappts=out.mappts)
     state = steps.push_pose_history(state)
@@ -182,22 +188,26 @@ def unpack_stats(v, C: int, D: int) -> FrameStats:
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
 def frame_step_packed(state: SlamState, pyr_prev, imgs_cur: jnp.ndarray,
-                      K: jnp.ndarray, kc: jnp.ndarray, cfg: SlamConfig):
+                      K: jnp.ndarray, kc: jnp.ndarray, cfg: SlamConfig,
+                      large_err=False):
     """frame_step with the stats pre-packed into one transferable vector
     (the engine's production path)."""
-    state, pyr_cur, fs = frame_step(state, pyr_prev, imgs_cur, K, kc, cfg)
+    state, pyr_cur, fs = frame_step(state, pyr_prev, imgs_cur, K, kc, cfg,
+                                    large_err=large_err)
     return state, pyr_cur, pack_stats(fs)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
 def frame_steps_scan(state: SlamState, pyr_prev, imgs_seq: jnp.ndarray,
-                     K: jnp.ndarray, kc: jnp.ndarray, cfg: SlamConfig):
+                     K: jnp.ndarray, kc: jnp.ndarray, cfg: SlamConfig,
+                     large_err=False):
     """Process a CHUNK of frames in one device call: lax.scan over
-    frame_step. For offline/batch processing (video already decoded) this
-    removes the per-frame dispatch/tunnel overhead entirely — the pure
-    device-compute throughput of the tracked-frame core. Host cadence
-    (keyframes, BA, merge) does not run inside the chunk; the engine uses
-    this between cadence points or for bulk re-tracking.
+    frame_step. Removes the per-frame dispatch/tunnel overhead entirely —
+    the pure device-compute throughput of the tracked-frame core. Host
+    cadence (keyframes, BA, merge) does not run inside the chunk; the
+    engine (chunk mode) runs it at chunk boundaries on the packed
+    per-frame stats rows, and bench uses this directly for the core-scan
+    metric.
 
     imgs_seq: [F, C, H, W]. Returns (state', pyr_last, packed stats
     [F, S] — one pack_stats row per frame)."""
@@ -206,9 +216,33 @@ def frame_steps_scan(state: SlamState, pyr_prev, imgs_seq: jnp.ndarray,
 
     def body(carry, imgs):
         st, pyr = carry
-        st, pyr, fs = frame_step(st, pyr, imgs, K, kc, cfg)
+        st, pyr, fs = frame_step(st, pyr, imgs, K, kc, cfg,
+                                 large_err=large_err)
         return (st, pyr), pack_stats(fs)
 
     (state, pyr_prev), stats = jax.lax.scan(body, (state, pyr_prev),
                                             imgs_seq)
     return state, pyr_prev, stats
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def frame_steps_chunk(state: SlamState, pyr_prev, imgs_seq: jnp.ndarray,
+                      K: jnp.ndarray, kc: jnp.ndarray, cfg: SlamConfig,
+                      large_err=False):
+    """frame_steps_scan + the periodic host-decision scan, packed into ONE
+    flat transfer vector — the chunked engine's production path. The
+    grouping/merge/loop prefilter reductions (host_scan_device) ride the
+    same readback as the per-frame stats rows, so a chunk costs exactly
+    one device->host round trip regardless of which cadences fire.
+
+    Returns (state', pyr_last, flat [F*S + C*(3C+2)] vector:
+    stats rows row-major, then the host-scan block)."""
+    from coslam_tpu.slam.grouping import host_scan_device
+    state, pyr_prev, stats = frame_steps_scan(state, pyr_prev, imgs_seq,
+                                              K, kc, cfg,
+                                              large_err=large_err)
+    scan = host_scan_device(state, K, cfg.image_height, cfg.image_width,
+                            cfg.p.loop_dormant_age)
+    flat = jnp.concatenate([stats.reshape(-1),
+                            scan.reshape(-1).astype(jnp.float32)])
+    return state, pyr_prev, flat

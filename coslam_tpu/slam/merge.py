@@ -165,6 +165,38 @@ class MergeResult(NamedTuple):
     scale: float          # metric bridge-baseline length
     n_matches: int
     scale_move: float = 1.0   # moving group's estimated map-scale drift
+    noop: bool = False        # merged WITHOUT realignment (identity won)
+
+
+def _dbg(*args):
+    """Merge-gate tracing (set COSLAM_MERGE_DEBUG=1); silent by default."""
+    import os
+    if os.environ.get("COSLAM_MERGE_DEBUG"):
+        print("[merge]", *args, flush=True)
+
+
+def consensus_log_scale(ratio: np.ndarray, min_members: int = 8,
+                        max_width: float = 0.45) -> float | None:
+    """Robust scale from depth ratios: median of the densest half-window
+    of log-ratios. A global MAD gate rejects the whole estimate when a
+    MINORITY of mismatched pairs widens the spread — but the true pairs
+    of a clean bridge cluster tightly, so find the tightest window
+    holding at least half (and >= ``min_members``) of the samples and
+    require only ITS width to be small. Returns None when no such
+    cluster exists (a genuinely mismatched bridge has near-uniform
+    log-ratios)."""
+    ratio = ratio[np.isfinite(ratio) & (ratio > 0)]
+    if len(ratio) < min_members:
+        return None
+    lr = np.sort(np.log(ratio))
+    k = max(min_members, (len(lr) + 1) // 2)
+    if len(lr) < k:
+        return None
+    widths = lr[k - 1:] - lr[:len(lr) - k + 1]
+    i = int(np.argmin(widths))
+    if float(widths[i]) > max_width:
+        return None
+    return float(np.exp(np.median(lr[i:i + k])))
 
 
 def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
@@ -178,73 +210,97 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
     C = cfg.num_cameras
     a, b = cand.cam_a, cand.cam_b
     tracks = state.tracks
-    # wide-baseline matching between the bridging cameras
+    # wide-baseline matching between the bridging cameras. Features that
+    # look dynamic are EXCLUDED from the bridge: a mover crossing the
+    # shared view (the very thing that splits groups in the dynamic
+    # scenario) would otherwise dominate the matches and poison the
+    # E-geometry and the scale evidence — the realignment must be
+    # estimated on the static world only (the reference matches SURF
+    # against the full frame but gates candidates through static map
+    # projections, SL_MergeCameraGroup.cpp:262-307; same exclusion as
+    # new-point minting, steps.py chooses static-only there too).
+    from coslam_tpu.slam.state import PT_DYNAMIC
+    mp0 = state.mappts
+    mi_all = jnp.clip(tracks.mpt, 0)
+    mapped_dyn = (tracks.mpt >= 0) & \
+        (mp0.ptype[mi_all] == PT_DYNAMIC) & \
+        (mp0.status[mi_all] == ST_ALIVE)
+    static_feat = tracks.valid & (tracks.dyn_votes < 3) & ~mapped_dyn
     blocks_a, ok_a = extract_ncc_blocks(pyr.imgs[0][a], tracks.raw[a],
                                         p.ncc_patch_radius)
     blocks_b, ok_b = extract_ncc_blocks(pyr.imgs[0][b], tracks.raw[b],
                                         p.ncc_patch_radius)
-    m = guided_match(blocks_a, blocks_b, ok_a & tracks.valid[a],
-                     ok_b & tracks.valid[b], tracks.pos[a], tracks.pos[b],
+    m = guided_match(blocks_a, blocks_b, ok_a & static_feat[a],
+                     ok_b & static_feat[b], tracks.pos[a], tracks.pos[b],
                      F=None, min_ncc=p.ncc_min_score, rounds=8)
     sel = np.asarray(m.a_to_b)
     pairs = np.nonzero(sel >= 0)[0]
     if len(pairs) < 16:
+        _dbg(f"reject: {len(pairs)} NCC pairs < 16")
         return MergeResult(False, state, 1.0, len(pairs))
-    xa = np.asarray(cam.normalize_points(tracks.pos[a], K[a], kc[a]))[pairs]
-    xb = np.asarray(cam.normalize_points(tracks.pos[b], K[b], kc[b]))[
-        sel[pairs]]
-    N0 = len(xa)
-    res = epipolar.ransac_essential(
-        jax.random.PRNGKey(int(state.frame)), jnp.asarray(xa),
-        jnp.asarray(xb), jnp.ones(N0, bool), num_hypotheses=512, thresh=3e-5)
-    # demand solid wide-baseline support: sparse bridges (~15 matches)
-    # produce sloppy E-geometry and bogus scales; a denser re-overlap a
-    # few frames later merges cleanly instead
-    if int(res.num_inliers) < 25:
-        return MergeResult(False, state, 1.0, int(res.num_inliers))
-    R_ab, t_ab, X_e, good = epipolar.recover_pose_from_essential(
-        res.F, jnp.asarray(xa), jnp.asarray(xb), res.inliers)
-    if int(jnp.sum(good)) < 25:
-        return MergeResult(False, state, 1.0, int(jnp.sum(good)))
-    # Resolve the E-translation scale against the anchor group's map: the
-    # matched cam_a features bound to anchor map points give metric depths;
-    # the unit-baseline triangulation gives E-scale depths; their median
-    # ratio is the baseline length. (The pose-graph uncertain-scale
-    # variable only works when the moving group has >= 2 cameras; a
-    # single-camera group leaves it unobservable — the reference resolves
-    # this through map-point fusion + local BA, same information.)
-    good_np = np.asarray(good)
-    feats_a = pairs[good_np]
-    mpt_a = np.asarray(tracks.mpt)[a][feats_a]
+    # Bridge pose by PnP on the ANCHOR MAP: matched cam_a features bound
+    # to anchor-group map points are metric 3D anchors observed by camera
+    # b — solve b's metric pose directly (RANSAC-DLT + Tukey-IRLS
+    # polish). This replaces an earlier E-matrix + depth-ratio-scale
+    # bridge: racing 8-pt/5-pt models by inlier count is blind to planar
+    # degeneracy (a wall-dominated bridge lets a homography-compatible F
+    # win with garbage triangulated depths), while PnP against the map
+    # has no scale ambiguity and the SE(3) IRLS polish is well-posed on
+    # planar scenes. (Reference role: the SURF+E bridge is immediately
+    # backed by fused map points + local BA carrying this same metric
+    # information, SL_MergeCameraGroup.cpp:190-421,557-725.)
+    mpt_a = np.asarray(tracks.mpt)[a][pairs]
     mp = state.mappts
-    alive_pt = np.asarray(mp.status) == ST_ALIVE
+    alive_pt = (np.asarray(mp.status) == ST_ALIVE) & \
+        (np.asarray(mp.ptype) == PT_STATIC)
     grp_owner = group_id[np.clip(np.asarray(mp.owner), 0, C - 1)]
     bound = (mpt_a >= 0)
     bound &= alive_pt[np.clip(mpt_a, 0, None)]
     bound &= grp_owner[np.clip(mpt_a, 0, None)] == group_id[a]
-    z_e = np.asarray(X_e)[good_np][:, 2]
-    scale = None
-    if bound.sum() >= 10:
-        Xm = np.asarray(mp.xyz)[mpt_a[bound]]
-        R_np = np.asarray(state.R)
-        t_np = np.asarray(state.t)
-        z_map = (Xm @ R_np[a].T + t_np[a])[:, 2]
-        ratio = z_map / np.maximum(z_e[bound], 1e-6)
-        ratio = ratio[np.isfinite(ratio) & (ratio > 0)]
-        if len(ratio) >= 10:
-            # dispersion gate: a clean bridge has consistent depth ratios;
-            # a mostly-mismatched one produces a wide spread, and its
-            # median is a coin flip that would rescale the whole moving
-            # group's state — reject instead and wait for a denser overlap
-            lr = np.log(ratio)
-            mad = float(np.median(np.abs(lr - np.median(lr))))
-            if mad < 0.35:
-                scale = float(np.exp(np.median(lr)))
-    if scale is None or not np.isfinite(scale) or scale <= 0:
-        return MergeResult(False, state, 1.0, int(jnp.sum(good)))
-    t_ab = t_ab * scale
+    if int(bound.sum()) < 10:
+        _dbg(f"reject: {int(bound.sum())} anchor-bound pairs < 10 "
+             f"of {len(pairs)}")
+        return MergeResult(False, state, 1.0, len(pairs))
+    feats_a = pairs                       # downstream indexes [bound]
+    X_anchor = np.asarray(mp.xyz)[mpt_a[bound]]
+    xn_b = np.asarray(cam.normalize_points(tracks.pos[b], K[b],
+                                           kc[b]))[sel[pairs[bound]]]
+    from coslam_tpu.geometry.pnp import ransac_pnp
+    fpx = float(np.asarray(K[b])[0, 0])
+    # 8px inlier gate: wide-baseline NCC matches against a drifted map
+    # carry ~5-10px of noise (discrete corner positions + map drift) —
+    # the IRLS polish and the post-merge joint BA tighten from there
+    res_pnp = ransac_pnp(
+        jax.random.PRNGKey(int(state.frame)),
+        jnp.asarray(X_anchor, jnp.float32), jnp.asarray(xn_b, jnp.float32),
+        jnp.ones(len(X_anchor), bool), num_hypotheses=1024,
+        thresh=8.0 / fpx)
+    n_matches = int(res_pnp.num_inliers)
+    if n_matches < 10:
+        _dbg(f"reject: PnP inliers {n_matches} < 10 of {len(X_anchor)}")
+        import os as _os
+        if _os.environ.get("COSLAM_MERGE_DEBUG"):
+            np.savez(f"/tmp/merge_reject_f{int(state.frame)}.npz",
+                     X=X_anchor, xn_b=xn_b,
+                     px_a=np.asarray(tracks.pos[a])[pairs[bound]],
+                     px_b=np.asarray(tracks.pos[b])[sel[pairs[bound]]],
+                     K_a=np.asarray(K[a]), K_b=np.asarray(K[b]),
+                     R_a=np.asarray(state.R[a]), t_a=np.asarray(state.t[a]),
+                     R_b=np.asarray(state.R[b]), t_b=np.asarray(state.t[b]))
+        return MergeResult(False, state, 1.0, n_matches)
+    from coslam_tpu.solvers.pose import irls_pose
+    px_b = np.asarray(tracks.pos[b])[sel[pairs[bound]]]
+    pol = irls_pose(K[b], res_pnp.R, res_pnp.t,
+                    jnp.asarray(X_anchor, jnp.float32),
+                    jnp.asarray(px_b, jnp.float32), res_pnp.inliers,
+                    tau=float(p.max_err))
+    R_b_pnp = np.asarray(pol.R)
+    t_b_pnp = np.asarray(pol.t)
+    if not (np.isfinite(R_b_pnp).all() and np.isfinite(t_b_pnp).all()):
+        _dbg("reject: PnP polish not finite")
+        return MergeResult(False, state, 1.0, n_matches)
     # pose graph: nodes = cameras; rigid chain edges inside each group from
-    # current estimates; one metric merge edge a -> b
+    # current estimates; one metric merge edge a -> b from the PnP pose
     R = np.asarray(state.R)
     t = np.asarray(state.t)
     edges_i, edges_j, eR, et, sg = [], [], [], [], []
@@ -259,11 +315,14 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
             eR.append(np.asarray(Rji))
             et.append(np.asarray(tji))
             sg.append(-1)
+    R_ab, t_ab = relative_pose(jnp.asarray(R[a]), jnp.asarray(t[a]),
+                               jnp.asarray(R_b_pnp), jnp.asarray(t_b_pnp))
+    scale = float(np.linalg.norm(np.asarray(t_ab)))   # bridge baseline
     edges_i.append(a)
     edges_j.append(b)
     eR.append(np.asarray(R_ab))
     et.append(np.asarray(t_ab))
-    sg.append(-1)    # scale already resolved against the map
+    sg.append(-1)    # metric edge: PnP pose carries the map's scale
     fixed = group_id == group_id[a]          # anchor group stays put
     E = len(edges_i)
     pg = PoseGraph(
@@ -280,7 +339,8 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
     R_sol = solve_rotations(pg)
     t_sol, scales = solve_translations(pg, R_sol, num_scales=1)
     if not bool(jnp.all(jnp.isfinite(R_sol)) & jnp.all(jnp.isfinite(t_sol))):
-        return MergeResult(False, state, 1.0, N0)
+        _dbg("reject: pose-graph solution not finite")
+        return MergeResult(False, state, 1.0, n_matches)
     # geometric verification BEFORE committing: the anchor-bound map points
     # must reproject onto camera b's matched features under b's solved
     # pose. A bad bridge (wrong scale / wrong E decomposition) fails this
@@ -289,15 +349,35 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
     pos_b = np.asarray(tracks.pos[b])[sel[feats_a][bound]]
     R_b_new = np.asarray(R_sol[cand.cam_b])
     t_b_new = np.asarray(t_sol[cand.cam_b])
-    Xc_v = Xm_v @ R_b_new.T + t_b_new
-    z_v = np.where(np.abs(Xc_v[:, 2]) < 1e-9, 1e-9, Xc_v[:, 2])
     K_b = np.asarray(K[b])
-    u_v = Xc_v[:, 0] / z_v * K_b[0, 0] + K_b[0, 2]
-    v_v = Xc_v[:, 1] / z_v * K_b[1, 1] + K_b[1, 2]
-    err_v = np.hypot(u_v - pos_b[:, 0], v_v - pos_b[:, 1])
-    err_v = err_v[Xc_v[:, 2] > 1e-3]
+
+    def _reproj_err(R_h, t_h):
+        Xc_h = Xm_v @ R_h.T + t_h
+        z_h = np.where(np.abs(Xc_h[:, 2]) < 1e-9, 1e-9, Xc_h[:, 2])
+        u_h = Xc_h[:, 0] / z_h * K_b[0, 0] + K_b[0, 2]
+        v_h = Xc_h[:, 1] / z_h * K_b[1, 1] + K_b[1, 2]
+        e_h = np.hypot(u_h - pos_b[:, 0], v_h - pos_b[:, 1])
+        return e_h[Xc_h[:, 2] > 1e-3], Xc_h
+
+    err_v, Xc_v = _reproj_err(R_b_new, t_b_new)
     if len(err_v) < 8 or float(np.median(err_v)) > p.pixel_err_var:
-        return MergeResult(False, state, 1.0, int(jnp.sum(good)))
+        _dbg(f"reject: verify n={len(err_v)} med={float(np.median(err_v)) if len(err_v) else -1:.2f}")
+        return MergeResult(False, state, 1.0, n_matches)
+    # no-op hypothesis: if camera b's CURRENT pose already explains the
+    # anchor-map bridge observations as well as the solved pose does, the
+    # groups never actually drifted apart (a split caused by a mover
+    # occluding the shared view, not by divergence). The correct
+    # correction is identity — committing a solved Sim(3) here would
+    # inject a realignment where none is needed and corrupt the moving
+    # group's whole chain (the reference's checkViewOverlap + camera
+    # distance gates at SL_MergeCameraGroup.cpp:56-177 play this
+    # conservative role).
+    err_id, _ = _reproj_err(R[b], t[b])
+    med_id = float(np.median(err_id)) if len(err_id) >= 8 else np.inf
+    med_sol = float(np.median(err_v))
+    if med_id <= p.pixel_err_var and med_id <= 1.25 * med_sol:
+        return MergeResult(True, state, scale, n_matches,
+                           scale_move=1.0, noop=True)
     # moving-group scale drift (Sim(3) correction): the bridge features
     # bound to BOTH groups' maps see the same physical points along the
     # same rays from camera b — the anchor-depth / moving-depth ratio is
@@ -324,13 +404,10 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
             okp = (dpx.min(1) < 3.0) & (Xc_v[:, 2] > 1e-3)
             if okp.sum() >= 8:
                 ratio = Xc_v[okp, 2] / np.maximum(zb[jn[okp]], 1e-6)
-                ratio = ratio[np.isfinite(ratio) & (ratio > 0)]
-                if len(ratio) >= 8:
-                    lr = np.log(ratio)
-                    mad = float(np.median(np.abs(lr - np.median(lr))))
-                    s_est = float(np.exp(np.median(lr)))
-                    if mad < 0.3 and 0.4 < s_est < 2.5:
-                        s_move = s_est
+                s_est = consensus_log_scale(ratio, min_members=8,
+                                            max_width=0.4)
+                if s_est is not None and 0.4 < s_est < 2.5:
+                    s_move = s_est
     # world-frame correction S for the moving group, from camera b:
     # T_new = (R_old R_s^T, s t_old - R_new t_s)
     R_s = R_new_b.T @ R[b]
@@ -339,7 +416,7 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
     state = apply_group_transform(state, cfg, move, R_s.astype(np.float32),
                                   t_s.astype(np.float32), group_id,
                                   f_sep=f_sep, scale=s_move)
-    return MergeResult(True, state, scale, int(jnp.sum(good)),
+    return MergeResult(True, state, scale, n_matches,
                        scale_move=s_move)
 
 

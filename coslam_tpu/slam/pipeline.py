@@ -55,7 +55,7 @@ class CoSlamEngine:
     def __init__(self, cfg: SlamConfig, K: np.ndarray, kc: np.ndarray,
                  profile: bool = False, log_features: bool = False,
                  use_fused: bool = True, async_ba: bool = False,
-                 ba_device=None, overlap: bool = False):
+                 ba_device=None, overlap: bool = False, chunk: int = 1):
         self.cfg = cfg
         self.profile = profile
         # async_ba: the reference runs windowed BA in a worker thread
@@ -80,6 +80,20 @@ class CoSlamEngine:
         # (the reference's async threads have the same property).
         self.overlap = overlap
         self._pending_fs = None
+        self._flushing = False   # inside _flush_overlap (kf frame stamps)
+        # chunk > 1: steady-state tracking runs through frame_steps_chunk —
+        # ``chunk`` frames per device call (lax.scan inside), host cadence
+        # once per chunk on the packed per-frame stats rows, ONE
+        # device->host round trip per chunk (the grouping/merge/loop
+        # prefilter scan rides the same transfer). This is the reference's
+        # single-loop pipeline (CoSLAMThread.cpp:95-129) restructured for a
+        # high-latency host<->device link: cadence decisions lag the frame
+        # stream by up to chunk-1 frames, within the async slack the
+        # reference's BA/merge threads already tolerate. Bootstrap and
+        # keyframe/BA/merge work still run frame-synchronous at chunk
+        # boundaries.
+        self.chunk = max(1, int(chunk))
+        self._chunk_buf: list = []
         # one fused device call for the per-frame core (tracking, pose,
         # classification, mapping) instead of ~6 dispatches — significant
         # when host<->device round trips are expensive
@@ -108,6 +122,12 @@ class CoSlamEngine:
         self.dyn_log: list[tuple] = []   # (frame, ids, xyz) dynamic snapshots
         self._last_merge = 0
         self._last_intercam = -10**9
+        self._last_grouping = -10**9   # interval-based cadences: these
+        self._last_register = -10**9   # advance in chunk mode too, where
+        self._last_fuse = 0            # frame-modulo checks would skip
+        # post-merge/loop settle window with widened pose gates (the
+        # reference's largeErr frames, SL_CoSLAM.cpp:371-374,407)
+        self._large_err_until = 0
         self._split_pending = None   # grouping-split hysteresis (see below)
         self.group_hist: list[tuple] = []   # per-frame group ids (for f_sep)
         self.merge_log: list[dict] = []
@@ -146,6 +166,16 @@ class CoSlamEngine:
     def process_frame(self, images: np.ndarray) -> dict:
         import time
         cfg = self.cfg
+        if self.chunk > 1 and self.bootstrapped and self.use_fused \
+                and self.frame > 0:
+            # keep device-resident inputs on device (a host pull here
+            # would defeat resident-frame feeding); host arrays stack on
+            # host and upload once per chunk
+            self._chunk_buf.append(images)
+            if len(self._chunk_buf) < self.chunk:
+                return {"frame": self.frame + len(self._chunk_buf) - 1,
+                        "buffered": True}
+            return self._process_chunk()
         t0 = time.perf_counter()
         self._pose_host_cache = None   # state.R/t will change this frame
         self._pose_prefetch = None
@@ -155,17 +185,21 @@ class CoSlamEngine:
         imgs = jnp.asarray(images)
         if imgs.dtype not in (jnp.float32, jnp.uint8):
             imgs = jnp.asarray(images, jnp.float32)
+        t0 = self._tick("upload", t0)
         if self.bootstrapped and self.use_fused and self.frame > 0:
             from coslam_tpu.slam.fused import frame_step_packed
             self.state, pyr, fsv = frame_step_packed(
-                self.state, self.pyr_prev, imgs, self.K, self.kc, cfg)
+                self.state, self.pyr_prev, imgs, self.K, self.kc, cfg,
+                large_err=self.frame < self._large_err_until)
             t0 = self._tick("core_fused", t0)
             stats = {"frame": self.frame}
+            log_entry = True
             if self.overlap:
                 # the packed stats vector (one fresh buffer — safe across
                 # donations) starts copying to host now and is consumed
                 # NEXT frame, so the cadence never waits a round trip
                 fsv.copy_to_host_async()
+                t0 = self._tick("copy_async", t0)
                 prev = self._pending_fs
                 self._pending_fs = (self.frame, fsv)
                 if prev is not None:
@@ -176,7 +210,14 @@ class CoSlamEngine:
                     # reference's async threads)
                     stats["frame"] = pframe
                     stats.update(self._host_cadence(pyr, pv, frame=pframe))
+                    t0 = self._tick("cadence_total", t0)
                     self._record_pose()
+                    t0 = self._tick("record_pose", t0)
+                else:
+                    # transition frame: the real stats for this frame are
+                    # consumed (and logged) next iteration — logging the
+                    # placeholder too would duplicate the frame key
+                    log_entry = False
             else:
                 stats.update(self._host_cadence(pyr, fsv))
                 self._record_pose()
@@ -186,7 +227,8 @@ class CoSlamEngine:
             self.group_hist.append(tuple(self.group_id.tolist()))
             self.frame += 1
             stats.setdefault("n_inliers", np.zeros(cfg.num_cameras))
-            self.stats_log.append(stats)
+            if log_entry:
+                self.stats_log.append(stats)
             return stats
         if imgs.dtype != jnp.float32:
             imgs = imgs.astype(jnp.float32)
@@ -222,6 +264,104 @@ class CoSlamEngine:
         stats.setdefault("n_inliers", np.zeros(cfg.num_cameras))
         self.stats_log.append(stats)
         return stats
+
+    # ------------------------------------------------------------------
+    def _process_chunk(self) -> dict:
+        """Drain the frame buffer through ONE frame_steps_chunk call and
+        run the host cadence once at the boundary. Per-frame poses and
+        dynamic snapshots come from the packed stats rows, so the whole
+        chunk costs a single device round trip."""
+        import time
+        from coslam_tpu.slam.fused import frame_steps_chunk, unpack_stats
+        cfg = self.cfg
+        C = cfg.num_cameras
+        t0 = time.perf_counter()
+        buf = self._chunk_buf
+        self._chunk_buf = []
+        n = len(buf)
+        self._pose_host_cache = None
+        self._pose_prefetch = None
+        self._kf_prefetch = None
+        if any(isinstance(f, jnp.ndarray) for f in buf):
+            imgs = jnp.stack([jnp.asarray(f) for f in buf])
+        else:
+            imgs = jnp.asarray(np.stack(buf))
+        if imgs.dtype not in (jnp.float32, jnp.uint8):
+            imgs = imgs.astype(jnp.float32)
+        t0 = self._tick("upload", t0)
+        self.state, pyr, flat = frame_steps_chunk(
+            self.state, self.pyr_prev, imgs, self.K, self.kc, cfg,
+            large_err=self.frame < self._large_err_until)
+        self.pyr_prev = pyr
+        t0 = self._tick("core_chunk", t0)
+        flat = np.asarray(flat)                    # the ONE round trip
+        t0 = self._tick("stats_wait", t0)
+        scan_len = C * (3 * C + 2)
+        rows = flat[:len(flat) - scan_len].reshape(n, -1)
+        scan = flat[len(flat) - scan_len:].reshape(C, 3 * C + 2)
+        D = self.state.kfs.dyn_xyz.shape[1]
+        f0 = self.frame
+        fs_last = None
+        for i in range(n):
+            fs = unpack_stats(rows[i], C, D)
+            fs_last = fs
+            self._pose_host_cache = (fs.R.copy(), fs.t.copy())
+            self._record_pose()
+            # last row's snapshot is appended by _shared_cadence below
+            if C > 1 and i < n - 1 and int(fs.n_dynamic) > 0:
+                ids = np.asarray(fs.dyn_ids)
+                sel = ids >= 0
+                if sel.any():
+                    self.dyn_log.append((f0 + i, ids[sel],
+                                         np.asarray(fs.dyn_xyz)[sel]))
+            entry = {"frame": f0 + i,
+                     "n_inliers": fs.n_inliers,
+                     "coverage": fs.coverage,
+                     "med_err": fs.med_err,
+                     "med_depth": fs.med_depth,
+                     "n_new_points": int(fs.n_new_points)}
+            if C > 1:
+                entry["n_static"] = int(fs.n_static)
+                entry["n_dynamic"] = int(fs.n_dynamic)
+            self.stats_log.append(entry)
+            self.group_hist.append(tuple(self.group_id.tolist()))
+        # cadence at the boundary, on the LAST frame's stats; the packed
+        # scan block pre-populates the _host_scan cache so grouping/merge/
+        # loop checks need no extra transfer
+        self.frame = f0 + n - 1
+        self._poll_ba()
+        self._scan_cache = (scan[:, :C], scan[:, C:2 * C],
+                            scan[:, 2 * C:3 * C], scan[:, 3 * C],
+                            scan[:, 3 * C + 1])
+        self._scan_frame = self.frame
+        dyn = None
+        if C > 1 and int(fs_last.n_dynamic) > 0:
+            dyn = (np.asarray(fs_last.dyn_ids), np.asarray(fs_last.dyn_xyz))
+        cstats = self._shared_cadence(
+            pyr, fs_last, n_mapped=np.asarray(fs_last.n_mapped),
+            n_new=int(fs_last.n_new_points), dyn=dyn,
+            n_static=int(fs_last.n_static),
+            n_dynamic=int(fs_last.n_dynamic), frame=self.frame)
+        self.stats_log[-1].update(cstats)
+        if self.log_features:
+            self._log_features()
+        self.frame = f0 + n
+        t0 = self._tick("cadence_total", t0)
+        return self.stats_log[-1]
+
+    def _flush_chunk(self):
+        """Process any buffered-but-unprocessed frames through the
+        single-frame path (a partial chunk would recompile the scan)."""
+        if not self._chunk_buf:
+            return
+        buf, self._chunk_buf = self._chunk_buf, []
+        saved = self.chunk
+        self.chunk = 1
+        try:
+            for f in buf:
+                self.process_frame(f)
+        finally:
+            self.chunk = saved
 
     # ------------------------------------------------------------------
     def _first_frame(self, pyr):
@@ -380,10 +520,14 @@ class CoSlamEngine:
         tunnel) — the post-step poses and dynamic snapshot ride along in
         the packed vector — then the shared cadence. ``frame`` stamps the
         log entries (one frame back in overlap mode)."""
+        import time as _time
+        _t0 = _time.perf_counter()
         self._poll_ba()
+        _t0 = self._tick("poll_ba", _t0)
         from coslam_tpu.slam.fused import unpack_stats
         fs = unpack_stats(np.asarray(fs), self.cfg.num_cameras,
                           self.state.kfs.dyn_xyz.shape[1])
+        _t0 = self._tick("stats_wait", _t0)
         self._pose_host_cache = (fs.R.copy(), fs.t.copy())
         dyn = None
         if int(fs.n_dynamic) > 0:
@@ -405,7 +549,9 @@ class CoSlamEngine:
         C = cfg.num_cameras
         t0 = time.perf_counter()
         self._poll_ba()
-        out = steps.pose_update(self.state, self.K, self.kc, self.img_hw, cfg)
+        out = steps.pose_update(self.state, self.K, self.kc, self.img_hw,
+                                cfg,
+                                large_err=self.frame < self._large_err_until)
         self.state = self.state._replace(
             R=out.R, t=out.t, tracks=out.tracks, mappts=out.mappts)
         self.state = steps.push_pose_history(self.state)
@@ -485,21 +631,36 @@ class CoSlamEngine:
                     self._store_dynamic_snapshot(frame)
             # post-merge settle window: suppress re-grouping while shared
             # observations re-form (the reference's post-merge suppression,
-            # SL_CoSLAM.cpp:1317-1320)
+            # SL_CoSLAM.cpp:1317-1320). Interval-based (not frame-modulo)
+            # so chunked processing — where cadence runs once per chunk —
+            # keeps the same rhythm.
             settled = not self.merge_log or \
                 self.frame - self.merge_log[-1]["frame"] > 12
-            if self.frame % GROUPING_INTERVAL == 0 and settled:
+            grouping_due = self.frame - self._last_grouping >= \
+                GROUPING_INTERVAL
+            if grouping_due:
+                self._last_grouping = self.frame
+            if grouping_due and settled:
                 self._update_grouping()
-            # group merge (SL_CoSLAM::mergeCamGroups, SURVEY.md §3.5)
-            if (len(np.unique(self.group_id)) > 1
-                    and self.frame % GROUPING_INTERVAL == 0
+            t0 = self._tick("cad_grouping", t0)
+            # group merge (SL_CoSLAM::mergeCamGroups, SURVEY.md §3.5) —
+            # tied to the grouping refresh so merges never act on stale
+            # group ids
+            if (len(np.unique(self.group_id)) > 1 and grouping_due
                     and self.frame - self._last_merge
                     >= p.merge_min_interval):
                 self._try_merge(pyr)
-        if self.frame % GROUPING_INTERVAL == 0:
+            t0 = self._tick("cad_merge", t0)
+        else:
+            grouping_due = self.frame - self._last_grouping >= \
+                GROUPING_INTERVAL
+            if grouping_due:
+                self._last_grouping = self.frame
+        if grouping_due:
             self._try_loop_closure(pyr)
+        t0 = self._tick("cad_loop", t0)
         n_inter = self._intercam_cadence(pyr, n_mapped, n_inl)
-        t0 = self._tick("host_cadence", t0)
+        t0 = self._tick("cad_intercam", t0)
         stats = {
             "n_inliers": n_inl,
             "coverage": cover,
@@ -512,15 +673,21 @@ class CoSlamEngine:
         if C > 1:
             stats["n_static"] = n_static
             stats["n_dynamic"] = n_dynamic
-        if self._keyframe_ready(out):
+        kf_ready = self._keyframe_ready(out)
+        t0 = self._tick("cad_kfready", t0)
+        if kf_ready:
             # a new keyframe must snapshot BA-consistent poses: flush any
             # in-flight BA first (the reference skips requestForBA while
             # the worker is busy, SL_CoSLAM.cpp:1737-1757)
             self._apply_pending_ba()
             self.state = self.state._replace(kfs=steps.add_keyframe(self.state))
-            self.kf_frames.append(self.frame)
+            # stamp with the device-side frame: during _flush_overlap
+            # self.frame is already one past the last processed frame
+            self.kf_frames.append(self.frame - 1 if self._flushing
+                                  else self.frame)
             self._kf_inliers = n_inl.copy()
             self._kf_pose_host = self._pose_host()
+            t0 = self._tick("cad_addkf", t0)
             if (len(self.kf_frames) % cfg.p.ba_cadence) == 0:
                 self._run_ba()
                 # if the solve already finished (small problems, fast
@@ -531,7 +698,8 @@ class CoSlamEngine:
             stats["keyframe"] = True
         # periodic duplicate unification (currentMapPointsRegister merges
         # every 50th frame, SL_CoSLAM.cpp:834-852)
-        if self.frame > 0 and self.frame % 50 == 0:
+        if self.frame - self._last_fuse >= 50:
+            self._last_fuse = self.frame
             from coslam_tpu.slam.merge import fuse_close_points
             self.state, n_fused = fuse_close_points(self.state, cfg)
             if n_fused:
@@ -565,6 +733,8 @@ class CoSlamEngine:
         # persistently low inliers (long occlusion, textureless view) must
         # not fire the group-wide mapping pass every frame
         decrease = decrease and since >= max(1, p.intercam_map_interval // 2)
+        import time as _time
+        _t0 = _time.perf_counter()
         if (since >= p.intercam_map_interval and budget_low) or decrease:
             for cams in group_camera_tuples(self.group_id):
                 mp, tr, nn = intercam_map_group(self.state, pyr, self.K,
@@ -572,9 +742,12 @@ class CoSlamEngine:
                 self.state = self.state._replace(mappts=mp, tracks=tr)
                 n_inter += int(nn)
             self._last_intercam = self.frame
-        if self.frame % p.intercam_map_interval == 0:
+        _t0 = self._tick("cad_icmap", _t0)
+        if self.frame - self._last_register >= p.intercam_map_interval:
+            self._last_register = self.frame
             self.state, _ = register_map_points(
                 self.state, pyr, self.K, cfg, max_age=p.num_act_frames)
+        self._tick("cad_register", _t0)
         return n_inter
 
     def _keyframe_ready(self, out) -> bool:
@@ -769,15 +942,27 @@ class CoSlamEngine:
             if g[cand.cam_a] == g[cand.cam_b]:
                 f_sep = f
                 break
-        # short separation (a grouping flap around the threshold — e.g.
-        # a mover briefly occluding the shared view): the groups still
-        # share one consistent map, so re-unify WITHOUT realignment. A
-        # bridge-estimated Sim(3) from a few-frame flap is pure noise,
-        # and applying its scale to drift that does not exist poisons
-        # the whole keyframe chain.
-        if self.frame - f_sep < cfg.p.merge_min_sep_frames:
-            ga = self.group_id[cand.cam_a]
-            gb = self.group_id[cand.cam_b]
+        # NOTE: an earlier round guarded short separations with a blind
+        # time-based reunify (merge_min_sep_frames); it both undid REAL
+        # splits (latching genuinely-separated groups together through
+        # the settle window) and failed to protect long occlusions. The
+        # no-op hypothesis check inside merge_groups replaces it with
+        # evidence: identity-explains-bridge -> unify without realigning;
+        # distinct views -> bridge match fails -> stay split.
+        res = merge_groups(self.state, cfg, pyr, self.K, self.kc,
+                           self.group_id, cands[0], f_sep=f_sep)
+        if res.ok:
+            # only COMMITTED merges start the merge_min_interval clock —
+            # a failed bridge attempt (thin matches this frame) must not
+            # block the retry at the next grouping tick; the reference
+            # likewise spaces merges, not attempts (SL_CoSLAM.cpp:1375)
+            self._last_merge = self.frame
+        if res.ok and res.noop:
+            # identity hypothesis won: the groups still share one
+            # consistent map (split was an occlusion flap, not drift) —
+            # unify + re-register, no realignment, no merge BA
+            ga = self.group_id[cands[0].cam_a]
+            gb = self.group_id[cands[0].cam_b]
             self.group_id = np.where(self.group_id == gb, ga,
                                      self.group_id)
             self.state = self.state._replace(
@@ -786,20 +971,38 @@ class CoSlamEngine:
             self.state, _ = register_map_points(
                 self.state, pyr, self.K, cfg,
                 max_age=cfg.p.num_act_frames, gate_scale=3.0)
-            self._last_merge = self.frame
             self.merge_log.append({
-                "frame": self.frame, "cam_a": cand.cam_a,
-                "cam_b": cand.cam_b, "scale": 1.0, "n_matches": 0,
-                "scale_move": 1.0, "reunify": True})
+                "frame": self.frame, "cam_a": cands[0].cam_a,
+                "cam_b": cands[0].cam_b, "scale": res.scale,
+                "n_matches": res.n_matches, "scale_move": 1.0,
+                "noop": True})
             return
-        res = merge_groups(self.state, cfg, pyr, self.K, self.kc,
-                           self.group_id, cands[0], f_sep=f_sep)
-        self._last_merge = self.frame
         if res.ok:
             # bCancelBA: an in-flight BA solved against pre-merge geometry
             # must not write back over the realigned state
             self._cancel_pending_ba()
-            self.state = fuse_duplicate_points(res.state, cfg,
+            # widened pose gates through the settle window (largeErr,
+            # SL_CoSLAM.cpp:371-374,407): realigned poses shed inliers
+            # under the normal Mahalanobis gates exactly when support is
+            # scarcest
+            self._large_err_until = self.frame + 12
+            self.state = res.state
+            # iterate the bridge (Gauss-Newton outer loop on the
+            # alignment): a thin central match set leaves a bas-relief
+            # ambiguity — the first PnP can verify at <10 px while still
+            # ~5-10 deg off (yaw compensated by lateral shift). Re-running
+            # the bridge from the realigned pose solves for the residual;
+            # convergence is merge_groups' own no-op test reporting that
+            # the current pose now explains the bridge.
+            for _ in range(2):
+                res_i = merge_groups(self.state, cfg, pyr, self.K,
+                                     self.kc, self.group_id, cands[0],
+                                     f_sep=f_sep)
+                if not res_i.ok or res_i.noop:
+                    break
+                res = res_i._replace(scale=res.scale)
+                self.state = res.state
+            self.state = fuse_duplicate_points(self.state, cfg,
                                                self.group_id, cands[0])
             self.merge_log.append({
                 "frame": self.frame, "cam_a": cands[0].cam_a,
@@ -879,6 +1082,7 @@ class CoSlamEngine:
         self._pose_prefetch = None
         self._kf_prefetch = None
         self._last_closure = self.frame
+        self._large_err_until = self.frame + 12   # largeErr settle window
         self.loop_log.append({"frame": self.frame, "cam": res.cam,
                               "n_inliers": res.n_inliers,
                               "f_anchor": res.f_anchor,
@@ -937,7 +1141,12 @@ class CoSlamEngine:
         pframe, pv = self._pending_fs
         self._pending_fs = None
         stats = {"frame": pframe}
-        stats.update(self._host_cadence(self.pyr_prev, pv, frame=pframe))
+        self._flushing = True
+        try:
+            stats.update(self._host_cadence(self.pyr_prev, pv,
+                                            frame=pframe))
+        finally:
+            self._flushing = False
         self._record_pose()
         self.stats_log.append(stats)
 
@@ -986,6 +1195,7 @@ class CoSlamEngine:
         rescaled the keyframe anchors, the raw relative translations of the
         drift window are still at the old scale — the per-segment scale
         lets the chain stretch to its anchors instead of distorting."""
+        self._flush_chunk()
         self._flush_overlap()
         Rs = np.stack([p[0] for p in self.traj[c]])
         ts = np.stack([p[1] for p in self.traj[c]])

@@ -201,16 +201,23 @@ class PoseUpdateOut(NamedTuple):
 @partial(jax.jit, static_argnames=("cfg", "img_hw"))
 def pose_update(state: SlamState, K: jnp.ndarray, kc: jnp.ndarray,
                 img_hw, cfg: SlamConfig,
-                large_err: bool = False) -> PoseUpdateOut:
+                large_err=False) -> PoseUpdateOut:
     """Per-camera IRLS pose + Mahalanobis inlier/outlier gating +
-    sequential map-point refinement (poseUpdate3D)."""
+    sequential map-point refinement (poseUpdate3D).
+
+    ``large_err`` (bool or 0/1 scalar, TRACED — a static flag would
+    compile a second copy of every graph containing this function and
+    recompile the fused step mid-run at the first merge): widens the
+    IRLS tau and the outlier gate 2x for post-merge/loop settle frames
+    (the reference's largeErr, SL_CoSLAM.cpp:371-374,407)."""
     tracks, mappts = state.tracks, state.mappts
     C, N = tracks.valid.shape
     p = cfg.p
     sel = choose_grid_features(tracks, mappts, img_hw, cfg)
     mi = jnp.clip(tracks.mpt, 0)
     X = mappts.xyz[mi]                                  # [C, N, 3]
-    tau = p.max_err * (2.0 if large_err else 1.0)
+    wide = 1.0 + jnp.asarray(large_err, jnp.float32)    # 1.0 or 2.0
+    tau = p.max_err * wide
 
     def solve_cam(Kc, R0, t0, Xc, pxc, selc):
         # 4x8 IRLS-LM iterations: frame-to-frame pose deltas are small, so
@@ -219,10 +226,26 @@ def pose_update(state: SlamState, K: jnp.ndarray, kc: jnp.ndarray,
         return out.R, out.t
 
     R_new, t_new = jax.vmap(solve_cam)(K, state.R, state.t, X, tracks.pos, sel)
-    # fall back to previous pose if too few selected points (<5) or solve blew up
+    # fall back to previous pose if too few selected points (<5), the
+    # solve blew up, or the solution is physically impossible for one
+    # frame of motion (the willFail/pose-carry role, SL_SingleSLAM.cpp:
+    # 605-618 — a degenerate feature constellation can satisfy IRLS with
+    # a wild pose; a camera does not cross half the scene depth or spin
+    # 35 degrees between consecutive frames)
     n_sel = jnp.sum(sel, axis=1)
+    z_old = jnp.einsum("cj,cnj->cn", state.R[:, 2], X) + state.t[:, 2:3]
+    med_z_old = jnp.nanmedian(jnp.where(sel & (z_old > 1e-3), z_old,
+                                        jnp.nan), axis=1)
+    med_z_old = jnp.where(jnp.isfinite(med_z_old) & (med_z_old > 1e-3),
+                          med_z_old, 10.0)
+    c_old = -jnp.einsum("cji,cj->ci", state.R, state.t)
+    c_new = -jnp.einsum("cji,cj->ci", R_new, t_new)
+    jump = jnp.linalg.norm(c_new - c_old, axis=-1)
+    tr_rel = jnp.einsum("cij,cij->c", R_new, state.R)
+    ang_rel = jnp.arccos(jnp.clip((tr_rel - 1.0) * 0.5, -1.0, 1.0))
     ok_cam = (n_sel >= 5) & jnp.all(jnp.isfinite(R_new), axis=(1, 2)) \
-        & jnp.all(jnp.isfinite(t_new), axis=1)
+        & jnp.all(jnp.isfinite(t_new), axis=1) \
+        & (jump < 0.5 * med_z_old) & (ang_rel < jnp.float32(0.61))
     R_new = jnp.where(ok_cam[:, None, None], R_new, state.R)
     t_new = jnp.where(ok_cam[:, None], t_new, state.t)
 
@@ -269,7 +292,7 @@ def pose_update(state: SlamState, K: jnp.ndarray, kc: jnp.ndarray,
     det = s00 * s11 - s01 * s01
     det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
     maha2 = (s11 * rx * rx - 2.0 * s01 * rx * ry + s00 * ry * ry) / det
-    out_gate = (p.maha_outlier * (2.0 if large_err else 1.0)) ** 2
+    out_gate = (p.maha_outlier * wide) ** 2
     in_gate = p.maha_inlier ** 2
     outlier = mapped & is_static & (maha2 > out_gate)
     inlier = mapped & is_static & (maha2 <= in_gate)
@@ -543,17 +566,22 @@ def add_keyframe(state: SlamState) -> KeyframeStore:
         n=kfs.n + 1)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "window"))
 def build_ba_problem(state: SlamState, K: jnp.ndarray,
-                     cfg: SlamConfig):
-    free_partial = False
+                     cfg: SlamConfig, window: int | None = None):
     """Collect the last ``ba_window`` keyframes into a BAProblem
     (RobustBundleRTS::addKeyFrames/addPoints). Returns (problem,
-    window_ring_idx [W]) with window position 0 = oldest."""
+    window_ring_idx [W]) with window position 0 = oldest.
+
+    ``window`` overrides the keyframe count and frees the mid-window
+    poses even when the window is only partially filled — the merge-time
+    joint BA semantics, mirroring build_ba_table (the list form is what
+    multi-host BA shards, so it needs the same override)."""
+    free_partial = window is not None
     kfs, mappts = state.kfs, state.mappts
     KF, C, N = kfs.obs_mpt.shape
     P = mappts.xyz.shape[0]
-    W = cfg.cap.ba_window
+    W = min(window or cfg.cap.ba_window, KF)
     # chronological window: positions n-W .. n-1 (clipped at 0)
     start = jnp.maximum(kfs.n - W, 0)
     kf_ord = start + jnp.arange(W)                  # absolute kf numbers
@@ -719,26 +747,63 @@ def apply_ba_table_results(state: SlamState, res, ring: jnp.ndarray,
     constrain the solve but do not write back."""
     P = state.mappts.xyz.shape[0]
     n_bad = jnp.sum(res.obs_outlier[:, :P], axis=0)
-    return _apply_ba_core(state, res.R, res.t, res.X[:P], n_bad, ring,
-                          kf_ok, cfg, gen0)
+    n_obs = jnp.sum(res.obs_valid[:, :P], axis=0)
+    return _apply_ba_core(state, res.R, res.t, res.X[:P], n_bad, n_obs,
+                          ring, kf_ok, cfg, gen0)
 
 
-def _apply_ba_core(state: SlamState, R_res, t_res, X_res, n_bad, ring,
-                   kf_ok, cfg: SlamConfig, gen0):
+def _apply_ba_core(state: SlamState, R_res, t_res, X_res, n_bad, n_obs,
+                   ring, kf_ok, cfg: SlamConfig, gen0):
     kfs, mappts = state.kfs, state.mappts
     C = kfs.R.shape[1]
     W = ring.shape[0]
     R_new = R_res.reshape(W, C, 3, 3)
     t_new = t_res.reshape(W, C, 3)
-    okw = kf_ok[:, None, None, None]
+    # divergence gate: BA is a REFINEMENT — a solution that moves any
+    # window camera center by a large fraction of the scene depth (or
+    # spins it >35 deg) means the solve ran away on a degenerate window
+    # (low-parallax span, glitched gauge keyframe). Committing it would
+    # teleport the live pose via the D-correction below and strand the
+    # whole run in a broken frame; skip the entire write-back instead.
+    R_win_old = state.kfs.R[ring]                          # [W, C, 3, 3]
+    t_win_old = state.kfs.t[ring]
+    c_w_old = -jnp.einsum("wcji,wcj->wci", R_win_old, t_win_old)
+    c_w_new = -jnp.einsum("wcji,wcj->wci", R_new, t_new)
+    jump_w = jnp.linalg.norm(c_w_new - c_w_old, axis=-1)   # [W, C]
+    tr_w = jnp.einsum("wcij,wcij->wc", R_new, R_win_old)
+    ang_w = jnp.arccos(jnp.clip((tr_w - 1.0) * 0.5, -1.0, 1.0))
+    z_map = jnp.einsum("cj,pj->cp", state.R[:, 2], mappts.xyz) \
+        + state.t[:, 2:3]
+    alive0 = mappts.status == ST_ALIVE
+    med_z = jnp.nanmedian(jnp.where(alive0[None] & (z_map > 1e-3), z_map,
+                                    jnp.nan), axis=1)      # [C]
+    med_z = jnp.where(jnp.isfinite(med_z) & (med_z > 1e-3), med_z, 10.0)
+    okm = kf_ok[:, None]
+    ba_ok = jnp.all(jnp.where(okm, jump_w < 0.5 * med_z[None], True)) \
+        & jnp.all(jnp.where(okm, ang_w < jnp.float32(0.61), True)) \
+        & jnp.all(jnp.isfinite(R_new)) & jnp.all(jnp.isfinite(t_new))
+    okw = (kf_ok & ba_ok)[:, None, None, None]
     kfs = kfs._replace(
         R=kfs.R.at[ring].set(jnp.where(okw, R_new, kfs.R[ring])),
         t=kfs.t.at[ring].set(jnp.where(okw[..., 0], t_new, kfs.t[ring])))
     P = mappts.xyz.shape[0]
     same = (mappts.gen == gen0) if gen0 is not None else jnp.ones((P,), bool)
-    xyz = jnp.where(same[:, None], X_res, mappts.xyz)
-    status = jnp.where((n_bad > 0) & same & (mappts.status == ST_ALIVE),
-                       ST_FALSE, mappts.status)
+    xyz = jnp.where((same & ba_ok)[:, None], X_res, mappts.xyz)
+    # outlier -> setFalse (Meas2D.outlier protocol,
+    # SL_CoSLAMRobustBA.cpp:296-309), hardened two ways the reference
+    # doesn't need (its robust BA runs after pose-graph-corrected poses):
+    #  - majority rule: a point dies only if MOST of its window
+    #    observations are outliers — one bad observation at one glitched
+    #    keyframe is that observation's fault, not the point's;
+    #  - mass-kill guard: if the solve would condemn a large fraction of
+    #    the participating points, the SOLVE failed (bad gauge keyframe,
+    #    degenerate low-parallax window) — committing the kills would
+    #    destroy the live map and end tracking, so no kills are applied.
+    alive = mappts.status == ST_ALIVE
+    kill = (2 * n_bad > n_obs) & (n_obs > 0) & same & alive
+    n_part = jnp.sum((n_obs > 0) & alive)
+    solve_sane = (jnp.sum(kill) * 10 <= n_part * 3) & ba_ok
+    status = jnp.where(kill & solve_sane, ST_FALSE, mappts.status)
     mappts = mappts._replace(xyz=xyz, status=status)
     newest = ring[W - 1]
     R_old = state.kfs.R[newest]
@@ -779,49 +844,13 @@ def apply_ba_results(state: SlamState, prob: BAProblem, res: BAResult,
     the reference's mutex-guarded deferred write-back
     (_bundleAdjustmentThread, SL_CoSLAM.cpp:1702-1730).
     """
-    kfs, mappts = state.kfs, state.mappts
-    C = kfs.R.shape[1]
-    W = ring.shape[0]
-    R_new = res.R.reshape(W, C, 3, 3)
-    t_new = res.t.reshape(W, C, 3)
-    okw = kf_ok[:, None, None, None]
-    kfs = kfs._replace(
-        R=kfs.R.at[ring].set(jnp.where(okw, R_new, kfs.R[ring])),
-        t=kfs.t.at[ring].set(jnp.where(okw[..., 0], t_new, kfs.t[ring])))
-    # points: write back; any-outlier-observation points go false
-    P = mappts.xyz.shape[0]
+    P = state.mappts.xyz.shape[0]
     n_bad = jax.ops.segment_sum(res.obs_outlier.astype(jnp.int32),
                                 prob.obs_pt, num_segments=P)
-    same = (mappts.gen == gen0) if gen0 is not None else \
-        jnp.ones((P,), bool)
-    xyz = jnp.where(same[:, None], res.X, mappts.xyz)
-    status = jnp.where((n_bad > 0) & same & (mappts.status == ST_ALIVE),
-                       ST_FALSE, mappts.status)
-    mappts = mappts._replace(xyz=xyz, status=status)
-    # live-pose correction from the newest keyframe:
-    # T_cur' = T_cur o (T_kf_old^-1 o T_kf_new)
-    newest = ring[W - 1]
-    R_old = state.kfs.R[newest]       # pre-update values still in state.kfs
-    t_old = state.kfs.t[newest]
-    R_upd = kfs.R[newest]
-    t_upd = kfs.t[newest]
-    # D = T_old^-1 o T_new : x -> R_old^T(R_new x) + R_old^T(t_new - t_old)
-    from coslam_tpu.geometry.se3 import orthonormalize_fast
-    D_R = orthonormalize_fast(jnp.einsum("cji,cjk->cik", R_old, R_upd))
-    D_t = jnp.einsum("cji,cj->ci", R_old, t_upd - t_old)
-    R_cur = orthonormalize_fast(jnp.einsum("cij,cjk->cik", state.R, D_R))
-    t_cur = jnp.einsum("cij,cj->ci", state.R, D_t) + state.t
-    ph_R = orthonormalize_fast(
-        jnp.einsum("ctij,cjk->ctik", state.pose_hist_R, D_R))
-    ph_t = jnp.einsum("ctij,cj->cti", state.pose_hist_R, D_t) \
-        + state.pose_hist_t
-    phl_R = orthonormalize_fast(
-        jnp.einsum("ctij,cjk->ctik", state.pose_hist_long_R, D_R))
-    phl_t = jnp.einsum("ctij,cj->cti", state.pose_hist_long_R, D_t) \
-        + state.pose_hist_long_t
-    return state._replace(R=R_cur, t=t_cur, kfs=kfs, mappts=mappts,
-                          pose_hist_R=ph_R, pose_hist_t=ph_t,
-                          pose_hist_long_R=phl_R, pose_hist_long_t=phl_t)
+    n_obs = jax.ops.segment_sum(prob.obs_valid.astype(jnp.int32),
+                                prob.obs_pt, num_segments=P)
+    return _apply_ba_core(state, res.R, res.t, res.X, n_bad, n_obs,
+                          ring, kf_ok, cfg, gen0)
 
 
 @jax.jit

@@ -226,6 +226,9 @@ class BATableResult(NamedTuple):
     obs_outlier: jnp.ndarray   # [S, P]
     obs_err: jnp.ndarray       # [S, P]
     cost: jnp.ndarray
+    obs_valid: jnp.ndarray     # [S, P] problem mask passthrough (the
+                               # write-back kill rule needs per-point
+                               # observation counts alongside outliers)
 
 
 def _table_jacobians(K, R, t, Xl, obs_px):
@@ -433,7 +436,8 @@ def bundle_adjust_table(prob: BATableProblem, max_err: float = 10.0,
     if axis_name is not None:
         cost = jax.lax.psum(cost, axis_name)
     return BATableResult(R=R, t=t, X=jnp.stack(Xl, axis=-1),
-                         obs_outlier=outlier, obs_err=err, cost=cost)
+                         obs_outlier=outlier, obs_err=err, cost=cost,
+                         obs_valid=prob.obs_valid)
 
 
 @partial(jax.jit, static_argnames=("max_iter", "inner_iter", "axis_name"))

@@ -83,13 +83,17 @@ def _run(name, C, frames, Rs_gt, ts_gt, kc=None):
     cfg = _cfg(C)
     K = np.stack([K1] * C)
     kc = np.zeros((C, 5), np.float32) if kc is None else kc
-    eng = CoSlamEngine(cfg, K, kc)
+    # production engine configuration: chunked device driving (one round
+    # trip per 6 frames; the same mode bench.py measures as the resident
+    # engine metric)
+    eng = CoSlamEngine(cfg, K, kc, chunk=6)
     F = frames.shape[0]
     t0 = time.perf_counter()
     for f in range(F):
         eng.process_frame(frames[f])
         if f % 100 == 0:
             print(f"  [{name}] frame {f}/{F}", flush=True)
+    eng._flush_chunk()
     dt = time.perf_counter() - t0
     ates = []
     for c in range(C):

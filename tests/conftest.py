@@ -25,3 +25,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Full-suite runs accumulate hundreds of compiled CPU executables in
+    one process; past a point the XLA CPU compiler has been observed to
+    segfault mid-compile (reproduced twice at ~60% of the suite, never in
+    isolated modules). Dropping compiled programs between modules keeps
+    the process lean; modules rarely share shapes, so the recompile cost
+    is minimal."""
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()
