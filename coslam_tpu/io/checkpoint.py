@@ -79,6 +79,7 @@ def save_checkpoint(path: str, engine):
     if engine.pyr_prev is not None:
         for li in range(len(engine.pyr_prev.imgs)):
             arrays[f"pyr.imgs.{li}"] = np.asarray(engine.pyr_prev.imgs[li])
+        for li in range(len(engine.pyr_prev.dxs)):   # level 0 only
             arrays[f"pyr.dxs.{li}"] = np.asarray(engine.pyr_prev.dxs[li])
             arrays[f"pyr.dys.{li}"] = np.asarray(engine.pyr_prev.dys[li])
     C = engine.cfg.num_cameras
@@ -134,13 +135,15 @@ def load_checkpoint(path: str, engine):
     if pyr_keys:
         from coslam_tpu.ops.pyramid import Pyramid
         n_lvl = len(pyr_keys)
+        # derivatives: level 0 only (older checkpoints stored all levels;
+        # the extras are dropped so the pytree structure matches what
+        # build_pyramid now produces — a mismatch would break the scan
+        # carry of the chunked engine)
         engine.pyr_prev = Pyramid(
             imgs=tuple(jnp.asarray(d.pop(f"pyr.imgs.{li}"))
                        for li in range(n_lvl)),
-            dxs=tuple(jnp.asarray(d.pop(f"pyr.dxs.{li}"))
-                      for li in range(n_lvl)),
-            dys=tuple(jnp.asarray(d.pop(f"pyr.dys.{li}"))
-                      for li in range(n_lvl)))
+            dxs=(jnp.asarray(d.pop("pyr.dxs.0")),),
+            dys=(jnp.asarray(d.pop("pyr.dys.0")),))
     C = engine.cfg.num_cameras
     engine.traj = [[] for _ in range(C)]
     engine.rel = [[] for _ in range(C)]

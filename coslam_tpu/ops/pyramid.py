@@ -20,7 +20,12 @@ from coslam_tpu.ops.image import gaussian_blur, sobel_derivatives, downsample2
 
 
 class Pyramid(NamedTuple):
-    """imgs/dxs/dys: tuples (len = n_levels) of [C, H/2^l, W/2^l] arrays."""
+    """imgs: tuple (len = n_levels) of [C, H/2^l, W/2^l] blurred levels.
+    dxs/dys: length-1 tuples — derivatives at LEVEL 0 ONLY. The corner
+    detector is their only consumer; the KLT tracker differentiates its
+    own template windows (ops/klt.py:102-105), so the reference's
+    all-level derivative mipmaps (pyramid_with_derivative_pass*.cg) would
+    be pure wasted HBM writes here."""
 
     imgs: tuple
     dxs: tuple
@@ -46,19 +51,24 @@ def build_pyramid(img: jnp.ndarray, n_levels: int,
         impl = "xla" if jax.default_backend() == "cpu" else "pallas"
     if impl == "pallas":
         from coslam_tpu.ops.pyramid_pallas import pyramid_level_pallas
-        level = pyramid_level_pallas
+
+        def level(cur, derivs):
+            return pyramid_level_pallas(cur, derivs=derivs)
     else:
-        def level(cur):
+        def level(cur, derivs):
             sm = gaussian_blur(cur)
+            if not derivs:
+                return sm
             dx, dy = sobel_derivatives(sm)
             return sm, dx, dy
-    imgs, dxs, dys = [], [], []
+    imgs = []
     cur = img
     for lvl in range(n_levels):
-        sm, dx, dy = level(cur)
+        if lvl == 0:
+            sm, dx0, dy0 = level(cur, True)
+        else:
+            sm = level(cur, False)
         imgs.append(sm)
-        dxs.append(dx)
-        dys.append(dy)
         if lvl + 1 < n_levels:
             cur = downsample2(sm)
-    return Pyramid(imgs=tuple(imgs), dxs=tuple(dxs), dys=tuple(dys))
+    return Pyramid(imgs=tuple(imgs), dxs=(dx0,), dys=(dy0,))

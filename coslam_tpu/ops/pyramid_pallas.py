@@ -30,8 +30,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _level_kernel(img_ref, sm_ref, dx_ref, dy_ref, *, H, W, Wp, TB,
-                  n_bands):
+def _level_kernel(img_ref, sm_ref, dx_ref=None, dy_ref=None, *, H, W, Wp,
+                  TB, n_bands, derivs=True):
     from jax.experimental.pallas import tpu as pltpu
 
     def hroll(a, k):  # roll by k (possibly negative): out[.., i] = a[.., i-k]
@@ -69,6 +69,8 @@ def _level_kernel(img_ref, sm_ref, dx_ref, dy_ref, *, H, W, Wp, TB,
         out_rows = slice(b * TB, b * TB + TBo)
         sm_ref[0, out_rows, :] = crop(
             jax.lax.slice_in_dim(smb, 2, 2 + TBo, axis=0))
+        if not derivs:
+            continue
         # dx: horizontal derivative, vertical [1 2 1]/4 smoothing
         dxh = hderiv(smb)
         dx = (jax.lax.slice_in_dim(dxh, 2, 2 + TBo, axis=0) * 2.0
@@ -81,11 +83,14 @@ def _level_kernel(img_ref, sm_ref, dx_ref, dy_ref, *, H, W, Wp, TB,
         dy_ref[0, out_rows, :] = crop(hsmooth(dyv))
 
 
-def pyramid_level_pallas(img: jnp.ndarray, interpret: bool = False):
-    """img: [C, H, W] f32. Returns (sm, dx, dy), each [C, H, W] — the
-    blurred level and its derivative-of-Gaussian x/y gradients, matching
-    ops/image.py's gaussian_blur + sobel_derivatives semantics (interior
-    exactly; borders via edge replication)."""
+def pyramid_level_pallas(img: jnp.ndarray, interpret: bool = False,
+                         derivs: bool = True):
+    """img: [C, H, W] f32. With ``derivs`` returns (sm, dx, dy), each
+    [C, H, W] — the blurred level and its derivative-of-Gaussian x/y
+    gradients, matching ops/image.py's gaussian_blur + sobel_derivatives
+    semantics (interior exactly; borders via edge replication). With
+    ``derivs=False`` returns just sm (levels >= 1: only the corner
+    detector consumes derivatives, and only at level 0)."""
     from jax.experimental import pallas as pl
 
     C, H, W = img.shape
@@ -96,16 +101,15 @@ def pyramid_level_pallas(img: jnp.ndarray, interpret: bool = False):
     canvas = jnp.pad(img, ((0, 0), (8, Hp - H - 8), (128, Wp - W - 128)),
                      mode="edge")
     kern = functools.partial(_level_kernel, H=H, W=W, Wp=Wp, TB=TB,
-                             n_bands=n_bands)
+                             n_bands=n_bands, derivs=derivs)
     shape = jax.ShapeDtypeStruct((C, H, W), img.dtype)
-    sm, dx, dy = pl.pallas_call(
+    spec = pl.BlockSpec((1, H, W), lambda c: (c, 0, 0))
+    out = pl.pallas_call(
         kern,
-        out_shape=(shape, shape, shape),
+        out_shape=(shape, shape, shape) if derivs else (shape,),
         grid=(C,),
         in_specs=[pl.BlockSpec((1, Hp, Wp), lambda c: (c, 0, 0))],
-        out_specs=(pl.BlockSpec((1, H, W), lambda c: (c, 0, 0)),
-                   pl.BlockSpec((1, H, W), lambda c: (c, 0, 0)),
-                   pl.BlockSpec((1, H, W), lambda c: (c, 0, 0))),
+        out_specs=(spec, spec, spec) if derivs else (spec,),
         interpret=interpret,
     )(canvas)
-    return sm, dx, dy
+    return out if derivs else out[0]

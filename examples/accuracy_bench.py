@@ -145,6 +145,13 @@ def config_threecam_dyn(F, rng):
 def config_splitmerge(F, rng):
     sep0, sep1 = int(F * 0.2), int(F * 0.4)
     ret0, ret1 = int(F * 0.55), int(F * 0.75)
+    # 1.2 rad (69 deg) exceeds the 65-deg horizontal FOV at 640x480
+    # (fx=500): the views genuinely stop overlapping, so the grouping
+    # split + the full merge machinery actually fire at production shape
+    # (0.9 rad left ~21% hull coverage — just above the 0.2 split
+    # threshold, so the scenario never exercised SL_MergeCameraGroup's
+    # role)
+    max_yaw = 1.2
 
     def yaw_fn(c, f):
         if c != 1:
@@ -152,11 +159,11 @@ def config_splitmerge(F, rng):
         if f < sep0:
             return 0.0
         if f < sep1:
-            return 0.9 * (f - sep0) / (sep1 - sep0)
+            return max_yaw * (f - sep0) / (sep1 - sep0)
         if f < ret0:
-            return 0.9
+            return max_yaw
         if f < ret1:
-            return 0.9 * (ret1 - f) / (ret1 - ret0)
+            return max_yaw * (ret1 - f) / (ret1 - ret0)
         return 0.0
 
     frames, Rs, ts = _rig_frames(rng, 2, F, baseline=1.0, forward=0.02,

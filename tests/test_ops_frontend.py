@@ -36,7 +36,10 @@ def test_pyramid_shapes(rng):
     assert pyr.imgs[0].shape == (1, 64, 96)
     assert pyr.imgs[1].shape == (1, 32, 48)
     assert pyr.imgs[2].shape == (1, 16, 24)
-    assert pyr.dxs[1].shape == (1, 32, 48)
+    # derivatives: level 0 only (the corner detector is their only
+    # consumer; KLT differentiates its own template windows)
+    assert len(pyr.dxs) == 1 and len(pyr.dys) == 1
+    assert pyr.dxs[0].shape == (1, 64, 96)
 
 
 def test_sample_bilinear_exact():

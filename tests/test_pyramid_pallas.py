@@ -22,3 +22,6 @@ def test_level_matches_xla_interior():
         for a, b in [(dx, dx_ref), (dy, dy_ref)]:
             d = np.abs(np.asarray(a) - np.asarray(b))
             assert d[:, 1:-1, 1:-1].max() < 1e-3
+        # blur-only variant (levels >= 1 skip the derivative outputs)
+        sm2 = pyramid_level_pallas(img, interpret=True, derivs=False)
+        assert np.array_equal(np.asarray(sm2), np.asarray(sm))
