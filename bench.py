@@ -270,6 +270,15 @@ def _engine_bench(out, cfg, rng, C, H, W):
         print(json.dumps(out), flush=True)
         _note(f"engine resident chunk=6: {fps_res:.2f} f/s")
     if _left() > 120:
+        # chunk overlap: chunk k-1's stats consumed while chunk k
+        # computes — the boundary round trip hides behind device compute
+        fps_ov = run(chunk=6, overlap=True, resident=True)
+        if fps_ov is not None:
+            out["engine_chunk_overlap_frames_per_s"] = round(fps_ov, 2)
+            out["engine_chunk_overlap_vs_baseline"] = round(fps_ov / 15.0, 2)
+            print(json.dumps(out), flush=True)
+            _note(f"engine resident chunk=6 overlap: {fps_ov:.2f} f/s")
+    if _left() > 120:
         fps = run()
         if fps is not None:
             out["engine_frames_per_s"] = round(fps, 2)

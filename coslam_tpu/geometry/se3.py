@@ -164,3 +164,19 @@ def relative_pose(R1, t1, R2, t2):
     R21 = R2 @ jnp.swapaxes(R1, -1, -2)
     t21 = t2 - jnp.einsum("...ij,...j->...i", R21, t1)
     return R21, t21
+
+
+def so3_exp_np(w) -> "np.ndarray":
+    """Host-side Rodrigues ([3] -> [3, 3], numpy). Trajectory/test-scene
+    generators call so3_exp once per frame; on a tunneled device each of
+    those tiny calls is a full round trip, so host helpers use this."""
+    import numpy as np
+    w = np.asarray(w, np.float64)
+    th = float(np.linalg.norm(w))
+    W = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    if th < 1e-8:
+        R = np.eye(3) + W
+    else:
+        R = np.eye(3) + np.sin(th) / th * W \
+            + (1 - np.cos(th)) / th ** 2 * (W @ W)
+    return R.astype(np.float32)

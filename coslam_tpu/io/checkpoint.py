@@ -54,6 +54,8 @@ def _unflatten_state(d: dict) -> SlamState:
 
 def save_checkpoint(path: str, engine):
     """Write the engine's full state (device + host logs) to ``path``."""
+    if getattr(engine, "chunk", 1) > 1:
+        engine._flush_chunk()        # drain pending stats + buffered frames
     if getattr(engine, "_pending_ba", None) is not None:
         engine._apply_pending_ba()   # checkpoint BA-consistent state
     arrays = _flatten_state(engine.state)

@@ -169,11 +169,11 @@ def orbit_trajectory(n_frames: int, radius: float = 1.5,
     """Smooth single-camera trajectory inside the room looking at the back
     wall: gentle forward motion + yaw + vertical bob. Returns (Rs [F,3,3],
     ts [F,3]) world->camera."""
-    from coslam_tpu.geometry.se3 import so3_exp
+    from coslam_tpu.geometry.se3 import so3_exp_np
     Rs, ts = [], []
     for f in range(n_frames):
         yaw = yaw_rate * f
-        R = np.asarray(so3_exp(jnp.array([0.0, yaw, 0.0], dtype=jnp.float32)))
+        R = so3_exp_np(np.array([0.0, yaw, 0.0]))
         c = np.array([radius * np.sin(0.02 * f),
                       bob * np.sin(0.1 * f),
                       forward * f], dtype=np.float32)
@@ -186,35 +186,80 @@ def orbit_trajectory(n_frames: int, radius: float = 1.5,
 def multi_cam_rig(n_cams: int, baseline: float = 0.8):
     """Static offsets of each camera from the rig center (world units),
     cameras side by side with slight toe-in."""
-    from coslam_tpu.geometry.se3 import so3_exp
+    from coslam_tpu.geometry.se3 import so3_exp_np
     offs, rots = [], []
     for ci in range(n_cams):
         x = (ci - (n_cams - 1) / 2.0) * baseline
         offs.append(np.array([x, 0.0, 0.0], dtype=np.float32))
         toe = -0.04 * (ci - (n_cams - 1) / 2.0)
-        rots.append(np.asarray(so3_exp(jnp.array([0.0, toe, 0.0],
-                                                 dtype=jnp.float32))))
+        rots.append(so3_exp_np(np.array([0.0, toe, 0.0])))
     return np.stack(rots), np.stack(offs)
+
+
+@partial(jax.jit, static_argnames=("h", "w"))
+def _render_jit_batch(p0b, eu, ev, tex, K, Rb, tb, h, w):
+    return jax.vmap(
+        lambda p0, R, t: _render_jit(p0, eu, ev, tex, K, R, t, h, w)
+    )(p0b, Rb, tb)
+
+
+def render_batch(planes, K, Rs, ts, h, w, quads=None, frames=None,
+                 chunk=8):
+    """Render B views in chunked batched jit calls: Rs [B,3,3], ts [B,3],
+    frames [B] (frame index per view, for moving quads; default arange).
+    Returns [B, H, W] numpy. One dispatch per ``chunk`` views instead of
+    one per view — over a tunneled device that is the difference between
+    seconds and minutes for a long sequence (the per-view [P,H,W,3]
+    intermediates bound the chunk size)."""
+    B = Rs.shape[0]
+    if frames is None:
+        frames = np.arange(B)
+    p0s, eus, evs, texs = _plane_arrays(planes)
+    nq = len(quads) if quads else 0
+    if nq:
+        qp = [Plane(q.center0 - 0.5 * q.eu - 0.5 * q.ev, q.eu, q.ev, q.tex)
+              for q in quads]
+        qp0, qeu, qev, qtex = _plane_arrays(qp)
+        eus = jnp.concatenate([eus, qeu])
+        evs = jnp.concatenate([evs, qev])
+        texs = jnp.concatenate([texs, qtex])
+        vel = jnp.asarray(np.stack([q.velocity for q in quads])
+                          .astype(np.float32))                  # [Q,3]
+    out = np.zeros((B, h, w), np.float32)
+    Kj = jnp.asarray(K)
+    for s in range(0, B, chunk):
+        e = min(s + chunk, B)
+        Rb = jnp.asarray(Rs[s:e].astype(np.float32))
+        tb = jnp.asarray(ts[s:e].astype(np.float32))
+        fb = jnp.asarray(frames[s:e].astype(np.float32))
+        if nq:
+            q0 = qp0[None] + fb[:, None, None] * vel[None]      # [b,Q,3]
+            p0b = jnp.concatenate(
+                [jnp.broadcast_to(p0s[None], (e - s,) + p0s.shape), q0], 1)
+        else:
+            p0b = jnp.broadcast_to(p0s[None], (e - s,) + p0s.shape)
+        out[s:e] = np.asarray(_render_jit_batch(p0b, eus, evs, texs, Kj,
+                                                Rb, tb, h, w))
+    return out
 
 
 def render_sequence(planes, K, Rs, ts, h, w, quads=None):
     """Render a whole trajectory: returns [F, H, W] numpy array."""
-    frames = []
-    for f in range(Rs.shape[0]):
-        frames.append(np.asarray(render(planes, K, Rs[f], ts[f], h, w,
-                                        quads=quads, frame=f)))
-    return np.stack(frames)
+    return render_batch(planes, K, Rs, ts, h, w, quads=quads)
 
 
 def apply_distortion_warp(img: jnp.ndarray, K: np.ndarray,
                           kc: np.ndarray) -> jnp.ndarray:
     """Turn an ideal-pinhole rendering [H, W] into what a distorted camera
     with coefficients kc would capture: I_d(p) = I_ideal(K D^-1(K^-1 p)).
-    Lets every synthetic test exercise the full undistortion path."""
+    Lets every synthetic test exercise the full undistortion path.
+    Accepts [B, H, W] batches (one jit dispatch for the whole batch)."""
     from coslam_tpu.geometry.camera import (pixel_to_normalized,
                                             undistort_normalized,
                                             normalized_to_pixel)
     from coslam_tpu.ops.patches import sample_bilinear
+    if img.ndim == 3:
+        return _distort_batch(img, jnp.asarray(K), jnp.asarray(kc))
     h, w = img.shape
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
@@ -224,3 +269,8 @@ def apply_distortion_warp(img: jnp.ndarray, K: np.ndarray,
     src = normalized_to_pixel(xn, jnp.asarray(K))
     vals, _ = sample_bilinear(img, src)
     return vals
+
+
+@jax.jit
+def _distort_batch(imgs, K, kc):
+    return jax.vmap(lambda im: apply_distortion_warp(im, K, kc))(imgs)

@@ -94,6 +94,14 @@ class CoSlamEngine:
         # boundaries.
         self.chunk = max(1, int(chunk))
         self._chunk_buf: list = []
+        # chunk overlap (chunk > 1 AND overlap=True): chunk k's packed
+        # stats are consumed while chunk k+1 computes on device, hiding
+        # the stats round trip entirely. Cadence decisions then lag the
+        # frame stream by up to 2*chunk-1 frames and are applied to the
+        # NEWER state (the same stale-stats/fresh-state pattern as
+        # per-frame overlap mode; the reference's async BA/merge threads
+        # tolerate the same slack).
+        self._chunk_pending = None   # (f0, n, flat device array)
         # one fused device call for the per-frame core (tracking, pose,
         # classification, mapping) instead of ~6 dispatches — significant
         # when host<->device round trips are expensive
@@ -294,13 +302,50 @@ class CoSlamEngine:
             large_err=self.frame < self._large_err_until)
         self.pyr_prev = pyr
         t0 = self._tick("core_chunk", t0)
+        if self.overlap:
+            # overlap: start this chunk's stats copying to host and
+            # consume the PREVIOUS chunk's (whose copy has been riding
+            # behind this chunk's compute). The first chunk has nothing
+            # pending yet.
+            flat.copy_to_host_async()
+            pending = self._chunk_pending
+            self._chunk_pending = (self.frame, n, flat)
+            self.frame += n
+            t0 = self._tick("copy_async", t0)
+            if pending is None:
+                return {"frame": self.frame - 1, "buffered": True}
+            out = self._consume_chunk_stats(*pending)
+            t0 = self._tick("cadence_total", t0)
+            return out
         flat = np.asarray(flat)                    # the ONE round trip
         t0 = self._tick("stats_wait", t0)
+        return self._ingest_chunk_rows(self.frame, n, flat, t0=t0)
+
+    def _consume_chunk_stats(self, f0, n, flat) -> dict:
+        """Overlap-mode deferred ingestion: logs + cadence for an already
+        device-advanced chunk. self.frame stays at the stream head; the
+        cadence bookkeeping runs with the pending chunk's numbering (the
+        cadence ACTIONS — keyframe snapshot, BA, merge — apply to the
+        current, newer device state)."""
+        saved = self.frame
+        self.frame = f0
+        try:
+            return self._ingest_chunk_rows(f0, n, np.asarray(flat))
+        finally:
+            self.frame = saved
+
+    def _ingest_chunk_rows(self, f0, n, flat, t0=None) -> dict:
+        import time
+        from coslam_tpu.slam.fused import unpack_stats
+        cfg = self.cfg
+        C = cfg.num_cameras
+        pyr = self.pyr_prev
+        if t0 is None:
+            t0 = time.perf_counter()
         scan_len = C * (3 * C + 2)
         rows = flat[:len(flat) - scan_len].reshape(n, -1)
         scan = flat[len(flat) - scan_len:].reshape(C, 3 * C + 2)
         D = self.state.kfs.dyn_xyz.shape[1]
-        f0 = self.frame
         fs_last = None
         for i in range(n):
             fs = unpack_stats(rows[i], C, D)
@@ -350,8 +395,12 @@ class CoSlamEngine:
         return self.stats_log[-1]
 
     def _flush_chunk(self):
-        """Process any buffered-but-unprocessed frames through the
-        single-frame path (a partial chunk would recompile the scan)."""
+        """Drain the overlap-pending chunk stats, then process any
+        buffered-but-unprocessed frames through the single-frame path (a
+        partial chunk would recompile the scan)."""
+        if self._chunk_pending is not None:
+            pending, self._chunk_pending = self._chunk_pending, None
+            self._consume_chunk_stats(*pending)
         if not self._chunk_buf:
             return
         buf, self._chunk_buf = self._chunk_buf, []

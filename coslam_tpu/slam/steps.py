@@ -656,7 +656,6 @@ def build_ba_problem(state: SlamState, K: jnp.ndarray,
 @partial(jax.jit, static_argnames=("cfg", "window"))
 def build_ba_table(state: SlamState, K: jnp.ndarray, cfg: SlamConfig,
                    window: int | None = None):
-    free_partial = window is not None
     """Dense [S, P] window table for ``bundle_adjust_table`` (the
     scatter-free fast path; S = ba_window x cameras). Same collection
     semantics as build_ba_problem: recycled-slot rejection via
@@ -665,6 +664,7 @@ def build_ba_table(state: SlamState, K: jnp.ndarray, cfg: SlamConfig,
     BA widens it to cover both groups' separation-era keyframes,
     genMergeInfoVer2's role — SL_MergeCameraGroup.cpp:557-725).
     Returns (BATableProblem, ring [W], kf_ok [W])."""
+    free_partial = window is not None
     from coslam_tpu.solvers.ba import BATableProblem
     kfs, mappts = state.kfs, state.mappts
     KF, C, N = kfs.obs_mpt.shape

@@ -72,6 +72,29 @@ def test_chunk_matches_single(mono_scene):
     assert fr == sorted(fr)
 
 
+def test_chunk_overlap_matches(mono_scene):
+    """Chunk overlap (consume chunk k-1's stats while chunk k computes):
+    cadence lags up to 2*chunk-1 frames; quality must stay in band and
+    every frame must still get a logged pose after the flush."""
+    frames, Rs, ts = mono_scene
+    cfg = small_test_config(num_cameras=1, h=H, w=W)
+    eng = CoSlamEngine(cfg, K1[None], np.zeros((1, 5), np.float32),
+                       chunk=4, overlap=True)
+    for f in range(len(frames)):
+        eng.process_frame(np.asarray(frames[f])[None])
+    Ro, to = eng.trajectory(0, correct=True)     # drains pending + buffer
+    assert eng._chunk_pending is None
+    assert len(to) == len(frames)
+    e1 = _run(frames, 1)
+    R1, t1 = e1.trajectory(0, correct=True)
+    a1 = ate_rmse(R1, t1, Rs, ts)
+    ao = ate_rmse(Ro, to, Rs, ts)
+    assert ao < max(2.0 * a1, a1 + 0.05), (a1, ao)
+    assert len(eng.kf_frames) >= len(e1.kf_frames) // 2
+    fr = [s["frame"] for s in eng.stats_log]
+    assert fr == sorted(fr)
+
+
 def test_chunk_flush_partial(mono_scene):
     frames, _, _ = mono_scene
     cfg = small_test_config(num_cameras=1, h=H, w=W)
