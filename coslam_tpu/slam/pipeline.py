@@ -191,7 +191,7 @@ class CoSlamEngine:
         # keep uint8 input as uint8 for the transfer (4x less tunnel
         # bandwidth); the fused step casts on device
         imgs = jnp.asarray(images)
-        if imgs.dtype not in (jnp.float32, jnp.uint8):
+        if imgs.dtype not in (jnp.float32, jnp.uint8, jnp.float16):
             imgs = jnp.asarray(images, jnp.float32)
         t0 = self._tick("upload", t0)
         if self.bootstrapped and self.use_fused and self.frame > 0:
@@ -294,7 +294,7 @@ class CoSlamEngine:
             imgs = jnp.stack([jnp.asarray(f) for f in buf])
         else:
             imgs = jnp.asarray(np.stack(buf))
-        if imgs.dtype not in (jnp.float32, jnp.uint8):
+        if imgs.dtype not in (jnp.float32, jnp.uint8, jnp.float16):
             imgs = imgs.astype(jnp.float32)
         t0 = self._tick("upload", t0)
         self.state, pyr, flat = frame_steps_chunk(

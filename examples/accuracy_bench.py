@@ -105,6 +105,8 @@ def _rig_frames(rng, C, F, baseline=1.0, forward=0.04, quads=None,
 
 
 def _run(name, C, frames, Rs_gt, ts_gt, kc=None):
+    import jax
+    import jax.numpy as jnp
     from coslam_tpu.slam.pipeline import CoSlamEngine
     from coslam_tpu.io.ate import ate_rmse
     cfg = _cfg(C)
@@ -112,12 +114,17 @@ def _run(name, C, frames, Rs_gt, ts_gt, kc=None):
     kc = np.zeros((C, 5), np.float32) if kc is None else kc
     # production engine configuration: chunked device driving (one round
     # trip per 6 frames; the same mode bench.py measures as the resident
-    # engine metric)
+    # engine metric), frames staged in device HBM as f16 (the co-located
+    # decode-host feeding model; over the axon tunnel host-fed f32 frames
+    # are LINK-bound at ~2 f/s, which measures the tunnel, not the
+    # engine). fps below is the engine number over pre-staged frames.
     eng = CoSlamEngine(cfg, K, kc, chunk=6)
     F = frames.shape[0]
+    stage = jax.device_put(jnp.asarray(frames, jnp.float16))
+    _ = np.asarray(stage[0, 0, 0, 0])          # staging complete
     t0 = time.perf_counter()
     for f in range(F):
-        eng.process_frame(frames[f])
+        eng.process_frame(stage[f])
         if f % 100 == 0:
             print(f"  [{name}] frame {f}/{F}", flush=True)
     eng._flush_chunk()
@@ -169,6 +176,49 @@ def config_threecam_dyn(F, rng):
     return _run("threecam_dyn", 3, frames, Rs, ts)
 
 
+def config_mono_loop(F, rng):
+    """Monocular revisit: map the back wall with a lateral sweep, yaw
+    away ~69 deg past the dormancy age, return and dwell — the loop
+    closure must re-acquire the dormant wall map (the production-scale
+    version of tests/test_loop_closure.py's scenario; default closure
+    thresholds, no tuning)."""
+    from coslam_tpu.geometry.se3 import so3_exp_np
+    from coslam_tpu.io.synthetic import make_room, render_batch
+    f_map, f_out, f_back = int(F * 0.15), int(F * 0.30), int(F * 0.82)
+    f_home = int(F * 0.92)
+    yaws = np.concatenate([
+        np.zeros(f_map),                                   # map the wall
+        np.linspace(0, 1.2, f_out - f_map),                # yaw away
+        np.full(f_back - f_out, 1.2),                      # dwell away
+        np.linspace(1.2, 0.0, f_home - f_back),            # yaw back
+        np.zeros(F - f_home),                              # revisit dwell
+    ])[:F]
+    Rs_gt = np.zeros((1, F, 3, 3), np.float32)
+    ts_gt = np.zeros((1, F, 3), np.float32)
+    for f in range(F):
+        R = so3_exp_np(np.array([0.0, yaws[f], 0.0]))
+        c = np.array([0.9 * np.sin(0.06 * f), 0.05 * np.sin(0.1 * f),
+                      0.002 * f], dtype=np.float32)
+        Rs_gt[0, f] = R
+        ts_gt[0, f] = (-R @ c).astype(np.float32)
+    import hashlib
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(Rs_gt).tobytes())
+    h.update(np.ascontiguousarray(ts_gt).tobytes())
+    h.update(np.float32(rng.uniform()).tobytes())
+    cache = f"/tmp/coslam_acc_scene_{h.hexdigest()[:16]}_{F}x1.npz"
+    if os.path.exists(cache):
+        frames = np.load(cache)["frames"].astype(np.float32)[:, None]
+        print(f"  (scene cache hit: {cache})", flush=True)
+    else:
+        planes = make_room(rng, size=10.0)
+        frames = render_batch(planes, K1, Rs_gt[0], ts_gt[0], H, W,
+                              chunk=8).astype(np.float16)
+        np.savez_compressed(cache, frames=frames)
+        frames = frames.astype(np.float32)[:, None]
+    return _run("mono_loop", 1, frames, Rs_gt, ts_gt)
+
+
 def config_splitmerge(F, rng):
     sep0, sep1 = int(F * 0.2), int(F * 0.4)
     ret0, ret1 = int(F * 0.55), int(F * 0.75)
@@ -213,9 +263,10 @@ CONFIGS = {
     "threecam_dyn": config_threecam_dyn,
     "splitmerge": config_splitmerge,
     "distorted": config_distorted,
+    "mono_loop": config_mono_loop,
 }
 DEFAULT_FRAMES = {"mono": 500, "twocam": 500, "threecam_dyn": 500,
-                  "splitmerge": 400, "distorted": 300}
+                  "splitmerge": 400, "distorted": 300, "mono_loop": 400}
 
 
 def write_accuracy_md(rows):
