@@ -311,6 +311,13 @@ def write_accuracy_md(rows):
 
 
 def main():
+    import jax
+    # persistent compile cache: the first accuracy run pays each graph's
+    # compile ONCE per machine; later runs (and the other configs'
+    # shared-shape graphs) load from disk instead of recompiling over the
+    # tunnel
+    jax.config.update("jax_compilation_cache_dir", "/tmp/coslam_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     ap = argparse.ArgumentParser()
     ap.add_argument("configs", nargs="*", default=[])
     ap.add_argument("--frames", type=int, default=0)
