@@ -378,7 +378,7 @@ def new_map_points(state: SlamState, pyr_cur: Pyramid, K: jnp.ndarray,
     # 3-vectors/3x3s are unrolled component arrays ([C, T, N, 3]-trailing
     # layouts waste ~96% of each vector tile)
     from coslam_tpu.geometry.triangulate import (
-        triangulate_two_view_midpoint_ln, inv3x3_sym_ln)
+        triangulate_two_view_midpoint_ln, inv3x3_sym_ln, solve3x3_sym_ln)
     fx = K[:, 0, 0][:, None, None]
     fy = K[:, 1, 1][:, None, None]
     cx = K[:, 0, 2][:, None, None]
@@ -394,10 +394,15 @@ def new_map_points(state: SlamState, pyr_cur: Pyramid, K: jnp.ndarray,
     # subset is exhaustive, so small-config behavior is unchanged.
     import numpy as _np
     if T <= 9:
-        offs = _np.arange(T)
+        offs = _np.arange(1, T)
     else:
-        geo = _np.unique(_np.rint(_np.geomspace(1, T - 1, 8)).astype(int))
-        offs = _np.concatenate([[0], geo])
+        # geomspace over [1, T-2] plus T-1: offset 0 is always masked by
+        # the hist_ok gate (k_off >= 1) so it would be a dead lane, and
+        # just-matured tracks (age == T-2 the frame their point is
+        # allocated — the dominant case) need an offset at exactly T-2
+        # to keep their widest baseline; T-1 serves fully-aged tracks
+        geo = _np.rint(_np.geomspace(1, T - 2, 7)).astype(int)
+        offs = _np.unique(_np.concatenate([geo, [T - 1]]))
     Ts = len(offs)
     ages = jnp.minimum(tracks.age - 1, T - 1)
     k_off = jnp.asarray(offs, jnp.int32)                           # offset back
@@ -443,17 +448,68 @@ def new_map_points(state: SlamState, pyr_cur: Pyramid, K: jnp.ndarray,
     any_good = jnp.any(good, axis=1)
     takeT = lambda A: jnp.take_along_axis(A, best_k[:, None, :], axis=1)[:, 0]
     Xb = [takeT(Xl[i]) for i in range(3)]                          # 3 x [C,N]
-    X_new = jnp.stack(Xb, axis=-1)                                 # [C,N,3]
-    alloc = cand & any_good
-    # covariance from the two chosen views: pixel-space J^T J accumulated
-    # componentwise, cov = pixel_var * H^-1
-    dt = X_new.dtype
-    Hpx = [[jnp.full((C, N), 1e-9 if i == j else 0.0, dt)
-            for j in range(3)] for i in range(3)]
+    dt = Xb[0].dtype
     Rb9 = [[takeT(jnp.broadcast_to(Rp[:, :, i, j][:, :, None], (C, Ts, N)))
             for j in range(3)] for i in range(3)]                  # [C,N] each
     tb3 = [takeT(jnp.broadcast_to(tp[:, :, i][:, :, None], (C, Ts, N)))
            for i in range(3)]
+    # refineTriangulation parity (SL_SingleSLAM.cpp:973-982): refine the
+    # two-view seed over the WHOLE track history (multi-view DLT over
+    # every valid history observation + the current view), then re-check
+    # reprojection at both chosen endpoint views. The two-view gate has a
+    # blind spot — ANY pair of rays intersects, so a point translating
+    # along its epipolar plane (e.g. a lateral mover with the epipole
+    # near the image center) fits both endpoints exactly. The full-chain
+    # refinement lands mid-trajectory and the endpoint errors expose the
+    # motion; this keeps slow movers out of the static map the same way
+    # the reference's refine-then-recheck does.
+    Hh = [[jnp.full((C, N), 1e-9 if i == j else 0.0, dt)
+           for j in range(3)] for i in range(3)]
+    gh = [jnp.zeros((C, N), dt) for _ in range(3)]
+
+    def _acc_view(Rm, tm, xn, yn, wc):
+        # Rm: 3x3 nested list of [C,N]-broadcastable, tm: 3-list
+        M1 = [xn * Rm[2][j] - Rm[0][j] for j in range(3)]
+        M2 = [yn * Rm[2][j] - Rm[1][j] for j in range(3)]
+        b1 = tm[0] - xn * tm[2]
+        b2 = tm[1] - yn * tm[2]
+        for i in range(3):
+            for j in range(i + 1):
+                Hh[i][j] = Hh[i][j] + wc * (M1[i] * M1[j] + M2[i] * M2[j])
+            gh[i] = gh[i] + wc * (M1[i] * b1 + M2[i] * b2)
+
+    R_cur = [[jnp.broadcast_to(state.R[:, i, j][:, None], (C, N))
+              for j in range(3)] for i in range(3)]
+    t_cur = [jnp.broadcast_to(state.t[:, i][:, None], (C, N))
+             for i in range(3)]
+    _acc_view(R_cur, t_cur, x_now[:, 0], y_now[:, 0], jnp.ones((C, N), dt))
+    for k in range(Ts):
+        Rk = [[Rp[:, k, i, j][:, None] for j in range(3)] for i in range(3)]
+        tk = [tp[:, k, i][:, None] for i in range(3)]
+        _acc_view(Rk, tk, x_past[:, k], y_past[:, k],
+                  hist_ok[:, k].astype(dt))
+    Xb = solve3x3_sym_ln(Hh, gh)                                   # 3 x [C,N]
+
+    def _reproj_err2_pt(Rm, tm, px_x, px_y):
+        Xc = [Rm[i][0] * Xb[0] + Rm[i][1] * Xb[1] + Rm[i][2] * Xb[2] + tm[i]
+              for i in range(3)]
+        z = Xc[2]
+        zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        du = fx[:, 0] * Xc[0] * zi + cx[:, 0] - px_x
+        dv = fy[:, 0] * Xc[1] * zi + cy[:, 0] - px_y
+        return du * du + dv * dv, z
+
+    e2r_now, z_now = _reproj_err2_pt(R_cur, t_cur, tracks.pos[..., 0],
+                                     tracks.pos[..., 1])
+    e2r_past, z_past = _reproj_err2_pt(Rb9, tb3, takeT(hx), takeT(hy))
+    refine_ok = (e2r_now < gate2) & (e2r_past < gate2) & \
+        (z_now > 1e-3) & (z_past > 1e-3)
+    X_new = jnp.stack(Xb, axis=-1)                                 # [C,N,3]
+    alloc = cand & any_good & refine_ok
+    # covariance from the two chosen views: pixel-space J^T J accumulated
+    # componentwise, cov = pixel_var * H^-1
+    Hpx = [[jnp.full((C, N), 1e-9 if i == j else 0.0, dt)
+            for j in range(3)] for i in range(3)]
     fx2, fy2 = fx[:, 0], fy[:, 0]                                  # [C,1]
     for view in range(2):
         if view == 0:

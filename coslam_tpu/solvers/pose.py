@@ -178,11 +178,17 @@ def irls_pose(K: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
         R, t, w = carry
         ru, rv, _ = _residuals_ln(K, R, t, XT, pxT)
         en = jnp.sqrt(ru * ru + rv * rv)
-        # Huber on all but the last pass (never zero, so a far-off init with
-        # all residuals beyond tau still produces a gradient); Tukey on the
-        # last pass for hard outlier rejection.
-        w_rob = jnp.where(k < n_irls - 1, huber_weight(en, tau),
-                          tukey_weight(en, tau))
+        # Tukey on EVERY pass (the reference's intraCamWeightedLMProc,
+        # SL_IntraCamPose.cpp:640-655): a hard outlier must contribute
+        # nothing from the first iteration. Huber here is catastrophic —
+        # a single corrupt map point at r=300 px still contributes
+        # w*r^2 = tau*r ~ 3000 (thousands of times any inlier), enough to
+        # drag the solve into a wrong basin the final Tukey pass cannot
+        # escape. Huber only as a fallback when Tukey rejects (nearly)
+        # everything — a far-off init must still produce a gradient.
+        w_tuk = tukey_weight(en, tau)
+        n_live = jnp.sum(base_w * (w_tuk > 0))
+        w_rob = jnp.where(n_live >= 6, w_tuk, huber_weight(en, tau))
         w = base_w * w_rob
         lam0 = jnp.asarray(1e-3, X.dtype)
         (R, t, _, _), _ = jax.lax.scan(lm_inner, (R, t, lam0, w), None,
@@ -271,10 +277,13 @@ def irls_pose_epi(K: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
         r3, r2 = residuals(jnp.zeros((6,), X.dtype), R, t)
         e3 = jnp.linalg.norm(r3, axis=-1)
         e2 = jnp.abs(r2)
-        rob3 = jnp.where(k < n_irls - 1, huber_weight(e3, tau),
-                         tukey_weight(e3, tau))
-        rob2 = jnp.where(k < n_irls - 1, huber_weight(e2, tau),
-                         tukey_weight(e2, tau))
+        # Tukey on every pass with Huber only as the degenerate-pass
+        # fallback — same rationale as irls_pose above
+        t3 = tukey_weight(e3, tau)
+        t2 = tukey_weight(e2, tau)
+        n_live = jnp.sum(base3 * (t3 > 0)) + jnp.sum(base2 * (t2 > 0))
+        rob3 = jnp.where(n_live >= 6, t3, huber_weight(e3, tau))
+        rob2 = jnp.where(n_live >= 6, t2, huber_weight(e2, tau))
         lam0 = jnp.asarray(1e-3, X.dtype)
         (R, t, _, _, _), _ = jax.lax.scan(
             lm_inner, (R, t, lam0, base3 * rob3, base2 * rob2), None,

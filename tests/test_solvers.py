@@ -245,3 +245,40 @@ def test_irls_pose_epi_rescues_sparse_3d(rng):
     e_epi = rot_angle_deg(np.asarray(res.R), R)
     e_plain = rot_angle_deg(np.asarray(res0.R), R)
     assert e_epi <= e_plain + 0.05
+
+
+def test_irls_pose_mega_outlier_stays_in_basin(rng):
+    """Regression (round 5): a SINGLE corrupt map point at a huge residual
+    (hundreds of px) must not drag the solve out of the good basin when
+    the init is already excellent. The old Huber-first IRLS schedule let
+    w*r^2 ~ tau*r dominate every inlier by ~1000x for three outer passes
+    — enough to jump the pose ~1.5 scene units with 50 perfect inliers
+    (the cam2 catastrophe in the three-camera dynamic rig). Tukey on
+    every pass (intraCamWeightedLMProc parity, SL_IntraCamPose.cpp:
+    640-655) zeroes it immediately."""
+    X, R, t, px, _ = make_pose_problem(rng, noise=0.3, outlier_frac=0.0)
+    px = px.copy()
+    px[:3] += 300.0                       # mega-outliers
+    res = irls_pose(jnp.asarray(K), jnp.asarray(R), jnp.asarray(t),
+                    jnp.asarray(X), jnp.asarray(px),
+                    jnp.ones(X.shape[0], dtype=bool), tau=10.0)
+    c_old = -R.T @ t
+    c_new = -np.asarray(res.R).T @ np.asarray(res.t)
+    assert np.linalg.norm(c_new - c_old) < 0.02, np.linalg.norm(c_new - c_old)
+    assert (np.asarray(res.weights)[:3] == 0).all()
+
+
+def test_irls_pose_far_init_still_converges(rng):
+    """The Huber fallback: when Tukey rejects (nearly) everything because
+    the init is far off, the pass must still produce a gradient and walk
+    home (clean observations, init ~25 deg + 2 units away)."""
+    X, R, t, px, _ = make_pose_problem(rng, noise=0.0, outlier_frac=0.0)
+    dR = np.asarray(se3.so3_exp(jnp.array([0.0, 0.44, 0.0],
+                                          dtype=jnp.float32)))
+    R0 = jnp.asarray((dR @ R).astype(np.float32))
+    t0 = jnp.asarray(t + np.array([2.0, 0.0, 1.0], dtype=np.float32))
+    res = irls_pose(jnp.asarray(K), R0, t0, jnp.asarray(X),
+                    jnp.asarray(px), jnp.ones(X.shape[0], dtype=bool),
+                    tau=10.0, n_irls=5, n_lm=10)
+    assert rot_angle_deg(np.asarray(res.R), R) < 0.5
+    np.testing.assert_allclose(np.asarray(res.t), t, atol=0.05)
