@@ -19,7 +19,7 @@ from functools import partial
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from coslam_tpu.solvers.ba import (BAProblem, BAResult, bundle_adjust,
                                    BATableProblem, BATableResult,
@@ -48,7 +48,7 @@ def dist_bundle_adjust(prob: BAProblem, mesh: Mesh, max_err: float = 10.0,
         partial(bundle_adjust, max_err=max_err, max_iter=max_iter,
                 inner_iter=inner_iter, axis_name="cam"),
         mesh=mesh, in_specs=(in_specs,), out_specs=out_specs,
-        check_rep=False)
+        check_vma=False)
     return fn(prob)
 
 
@@ -80,5 +80,5 @@ def dist_bundle_adjust_table(prob: BATableProblem, mesh: Mesh,
         partial(bundle_adjust_table, max_err=max_err, max_iter=max_iter,
                 inner_iter=inner_iter, axis_name="cam"),
         mesh=mesh, in_specs=(in_specs,), out_specs=out_specs,
-        check_rep=False)
+        check_vma=False)
     return fn(prob)

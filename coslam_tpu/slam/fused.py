@@ -80,7 +80,7 @@ def frame_step(state: SlamState, pyr_prev, imgs_cur: jnp.ndarray,
         # GSPMD propagation instead inserts ~900-2000 small collectives
         # per step: every scalar camera index into a sharded axis
         # becomes its own permute/gather.)
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
         from coslam_tpu.ops.ncc import extract_ncc_blocks_batched
         cam, rep = P("cam"), P()
@@ -99,7 +99,7 @@ def frame_step(state: SlamState, pyr_prev, imgs_cur: jnp.ndarray,
             kernel, mesh=mesh,
             in_specs=(cam, pyr_spec, tr_spec, cam, cam, rep),
             out_specs=(pyr_spec, tr_spec, cam, cam),
-            check_rep=False,
+            check_vma=False,
         )(imgs_cur, pyr_prev, state.tracks, K, kc, state.frame + 1)
         rep_sh = NamedSharding(mesh, rep)
         con = jax.lax.with_sharding_constraint
@@ -186,21 +186,21 @@ def unpack_stats(v, C: int, D: int) -> FrameStats:
         dyn_ids=take(D).astype(int), dyn_xyz=take(3 * D, (D, 3)))
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+@partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(0, 1))
 def frame_step_packed(state: SlamState, pyr_prev, imgs_cur: jnp.ndarray,
                       K: jnp.ndarray, kc: jnp.ndarray, cfg: SlamConfig,
-                      large_err=False):
+                      mesh=None, large_err=False):
     """frame_step with the stats pre-packed into one transferable vector
     (the engine's production path)."""
     state, pyr_cur, fs = frame_step(state, pyr_prev, imgs_cur, K, kc, cfg,
-                                    large_err=large_err)
+                                    mesh=mesh, large_err=large_err)
     return state, pyr_cur, pack_stats(fs)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+@partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(0, 1))
 def frame_steps_scan(state: SlamState, pyr_prev, imgs_seq: jnp.ndarray,
                      K: jnp.ndarray, kc: jnp.ndarray, cfg: SlamConfig,
-                     large_err=False):
+                     mesh=None, large_err=False):
     """Process a CHUNK of frames in one device call: lax.scan over
     frame_step. Removes the per-frame dispatch/tunnel overhead entirely —
     the pure device-compute throughput of the tracked-frame core. Host
@@ -217,7 +217,7 @@ def frame_steps_scan(state: SlamState, pyr_prev, imgs_seq: jnp.ndarray,
     def body(carry, imgs):
         st, pyr = carry
         st, pyr, fs = frame_step(st, pyr, imgs, K, kc, cfg,
-                                 large_err=large_err)
+                                 mesh=mesh, large_err=large_err)
         return (st, pyr), pack_stats(fs)
 
     (state, pyr_prev), stats = jax.lax.scan(body, (state, pyr_prev),
@@ -225,10 +225,10 @@ def frame_steps_scan(state: SlamState, pyr_prev, imgs_seq: jnp.ndarray,
     return state, pyr_prev, stats
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+@partial(jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=(0, 1))
 def frame_steps_chunk(state: SlamState, pyr_prev, imgs_seq: jnp.ndarray,
                       K: jnp.ndarray, kc: jnp.ndarray, cfg: SlamConfig,
-                      large_err=False):
+                      mesh=None, large_err=False):
     """frame_steps_scan + the periodic host-decision scan, packed into ONE
     flat transfer vector — the chunked engine's production path. The
     grouping/merge/loop prefilter reductions (host_scan_device) ride the
@@ -239,7 +239,7 @@ def frame_steps_chunk(state: SlamState, pyr_prev, imgs_seq: jnp.ndarray,
     stats rows row-major, then the host-scan block)."""
     from coslam_tpu.slam.grouping import host_scan_device
     state, pyr_prev, stats = frame_steps_scan(state, pyr_prev, imgs_seq,
-                                              K, kc, cfg,
+                                              K, kc, cfg, mesh=mesh,
                                               large_err=large_err)
     scan = host_scan_device(state, K, cfg.image_height, cfg.image_width,
                             cfg.p.loop_dormant_age)

@@ -55,9 +55,21 @@ class CoSlamEngine:
     def __init__(self, cfg: SlamConfig, K: np.ndarray, kc: np.ndarray,
                  profile: bool = False, log_features: bool = False,
                  use_fused: bool = True, async_ba: bool = False,
-                 ba_device=None, overlap: bool = False, chunk: int = 1):
+                 ba_device=None, overlap: bool = False, chunk: int = 1,
+                 mesh=None):
         self.cfg = cfg
         self.profile = profile
+        # mesh: a 1-axis ("cam") jax.sharding.Mesh for multi-chip runs —
+        # the fused step runs its pixel-heavy stages one-camera-per-device
+        # via shard_map (frame_step's explicit-SPMD path); small tables
+        # stay replicated, so every host-side cadence function (keyframe
+        # snapshots, BA, merge, intercam mapping) compiles unchanged under
+        # GSPMD. The mesh axis size must equal num_cameras.
+        self.mesh = mesh
+        if mesh is not None:
+            assert mesh.shape.get("cam") == cfg.num_cameras, \
+                f"mesh 'cam' axis {mesh.shape} != num_cameras " \
+                f"{cfg.num_cameras}"
         # async_ba: the reference runs windowed BA in a worker thread
         # concurrently with tracking (SURVEY.md §3.4). TPU equivalent:
         # dispatch the BA solve without blocking (jax async dispatch —
@@ -129,6 +141,9 @@ class CoSlamEngine:
         self.group_id = np.zeros(C, np.int32)
         self.dyn_log: list[tuple] = []   # (frame, ids, xyz) dynamic snapshots
         self._last_merge = 0
+        self._last_merge_try = -(10 ** 9)
+        self._merge_backoff = 0   # grows on failed bridge attempts
+        self._merge_was_possible = False
         self._last_intercam = -10**9
         self._last_grouping = -10**9   # interval-based cadences: these
         self._last_register = -10**9   # advance in chunk mode too, where
@@ -198,6 +213,7 @@ class CoSlamEngine:
             from coslam_tpu.slam.fused import frame_step_packed
             self.state, pyr, fsv = frame_step_packed(
                 self.state, self.pyr_prev, imgs, self.K, self.kc, cfg,
+                mesh=self.mesh,
                 large_err=self.frame < self._large_err_until)
             t0 = self._tick("core_fused", t0)
             stats = {"frame": self.frame}
@@ -299,6 +315,7 @@ class CoSlamEngine:
         t0 = self._tick("upload", t0)
         self.state, pyr, flat = frame_steps_chunk(
             self.state, self.pyr_prev, imgs, self.K, self.kc, cfg,
+            mesh=self.mesh,
             large_err=self.frame < self._large_err_until)
         self.pyr_prev = pyr
         t0 = self._tick("core_chunk", t0)
@@ -698,7 +715,33 @@ class CoSlamEngine:
             if (len(np.unique(self.group_id)) > 1 and grouping_due
                     and self.frame - self._last_merge
                     >= p.merge_min_interval):
-                self._try_merge(pyr)
+                # cheap prefilter every tick (reads the packed device scan
+                # already cached for grouping — no extra transfer): no
+                # predicted overlap -> no bridge attempt, and the moment
+                # overlap RE-forms the failed-attempt backoff resets so
+                # the re-merge fires on the first possible tick
+                possible = self._merge_possible()
+                if possible and not self._merge_was_possible:
+                    self._merge_backoff = 0
+                self._merge_was_possible = possible
+                if possible and (self.frame - self._last_merge_try
+                                 >= self._merge_backoff):
+                    n_groups = len(np.unique(self.group_id))
+                    self._last_merge_try = self.frame
+                    self._try_merge(pyr)
+                    # failed-attempt backoff: a bridge attempt costs real
+                    # time (NCC search + PnP + several device round trips
+                    # — measured ~48% of a 500-frame production run when
+                    # retried every grouping tick through a long split);
+                    # while the predicted overlap persists but the bridge
+                    # keeps failing, retry less and less often (capped).
+                    if len(np.unique(self.group_id)) < n_groups:
+                        self._merge_backoff = 0   # unified (merge or noop)
+                    else:
+                        self._merge_backoff = min(
+                            max(2 * GROUPING_INTERVAL,
+                                self._merge_backoff * 2),
+                            8 * GROUPING_INTERVAL)
             t0 = self._tick("cad_merge", t0)
         else:
             grouping_due = self.frame - self._last_grouping >= \
@@ -1025,6 +1068,17 @@ class CoSlamEngine:
                 "cam_b": cands[0].cam_b, "scale": res.scale,
                 "n_matches": res.n_matches, "scale_move": 1.0,
                 "noop": True})
+            # the reference BAs after every committed group merge
+            # (mergeCamGroups -> requestForBA, SL_CoSLAM.cpp:1340-1346);
+            # a no-op unify skips the REALIGNMENT, not the polish — the
+            # wide window covering both chains' separation-era keyframes,
+            # anchored by the just-re-registered shared observations,
+            # absorbs the residual drift both groups accumulated apart
+            self.state = self.state._replace(
+                kfs=steps.add_keyframe(self.state))
+            self.kf_frames.append(self.frame)
+            self._kf_pose_host = None
+            self._run_ba(sync=True, window=cfg.p.merge_ba_window)
             return
         if res.ok:
             # bCancelBA: an in-flight BA solved against pre-merge geometry
@@ -1165,6 +1219,10 @@ class CoSlamEngine:
                 self._split_pending = key
                 return
         self._split_pending = None
+        if splits:
+            # a fresh split: merge attempts start from zero backoff
+            self._merge_backoff = 0
+            self._last_merge_try = -(10 ** 9)
         self.group_id = gid
         self.state = self.state._replace(group_id=jnp.asarray(gid))
 

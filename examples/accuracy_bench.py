@@ -26,6 +26,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+if os.environ.get("COSLAM_CPU_MESH"):
+    # virtual-device mesh runs (fivecam_mesh): force the CPU backend
+    # BEFORE first jax use — the JAX_PLATFORMS env var is ignored when
+    # the axon TPU plugin is present, the config route is not
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 
 H, W = 480, 640
 K1 = np.array([[500.0, 0, W / 2], [0, 500.0, H / 2], [0, 0, 1]],
@@ -42,7 +49,7 @@ def _cfg(C):
 
 
 def _rig_frames(rng, C, F, baseline=1.0, forward=0.04, quads=None,
-                yaw_fn=None, kc=None):
+                yaw_fn=None, kc=None, hw=None, K=None):
     """Render a C-camera rig sequence. Returns (frames [F,C,H,W],
     Rs_gt [C,F,3,3], ts_gt [C,F,3]).
 
@@ -55,6 +62,8 @@ def _rig_frames(rng, C, F, baseline=1.0, forward=0.04, quads=None,
                                          render_batch, multi_cam_rig,
                                          apply_distortion_warp)
     from coslam_tpu.geometry.se3 import so3_exp_np
+    h_img, w_img = hw or (H, W)
+    K = K1 if K is None else K
     Rr, tr = orbit_trajectory(F, forward=forward)
     rot_c, offs_c = multi_cam_rig(C, baseline=baseline)
     Rs_gt = np.zeros((C, F, 3, 3), np.float32)
@@ -80,7 +89,9 @@ def _rig_frames(rng, C, F, baseline=1.0, forward=0.04, quads=None,
                 h.update(np.asarray(a, np.float32).tobytes())
     if kc is not None:
         h.update(np.asarray(kc, np.float32).tobytes())
-    cache = f"/tmp/coslam_acc_scene_{h.hexdigest()[:16]}_{F}x{C}.npz"
+    cache = (f"/tmp/coslam_acc_scene_{h.hexdigest()[:16]}_{F}x{C}"
+             f"_{h_img}x{w_img}.npz" if hw else
+             f"/tmp/coslam_acc_scene_{h.hexdigest()[:16]}_{F}x{C}.npz")
     if os.path.exists(cache):
         frames = np.load(cache)["frames"].astype(np.float32)
         print(f"  (scene cache hit: {cache})", flush=True)
@@ -89,13 +100,14 @@ def _rig_frames(rng, C, F, baseline=1.0, forward=0.04, quads=None,
     Rflat = Rs_gt.transpose(1, 0, 2, 3).reshape(F * C, 3, 3)
     tflat = ts_gt.transpose(1, 0, 2).reshape(F * C, 3)
     fidx = np.repeat(np.arange(F), C)
-    frames = render_batch(planes, K1, Rflat, tflat, H, W, quads=quads,
-                          frames=fidx, chunk=4 * C).reshape(F, C, H, W)
+    frames = render_batch(planes, K, Rflat, tflat, h_img, w_img,
+                          quads=quads, frames=fidx,
+                          chunk=4 * C).reshape(F, C, h_img, w_img)
     if kc is not None:
         for c in range(C):
             if np.any(kc[c]):
                 frames[:, c] = np.asarray(
-                    apply_distortion_warp(frames[:, c], K1, kc[c]))
+                    apply_distortion_warp(frames[:, c], K, kc[c]))
     # quantize to f16 BEFORE first use so a cache hit is bit-identical to
     # the run that wrote it (f16 keeps ~0.06 gray-level precision — below
     # video quantization noise)
@@ -104,13 +116,16 @@ def _rig_frames(rng, C, F, baseline=1.0, forward=0.04, quads=None,
     return frames.astype(np.float32), Rs_gt, ts_gt
 
 
-def _run(name, C, frames, Rs_gt, ts_gt, kc=None):
+def _run(name, C, frames, Rs_gt, ts_gt, kc=None, cfg_mut=None,
+         mesh=None, K=None):
     import jax
     import jax.numpy as jnp
     from coslam_tpu.slam.pipeline import CoSlamEngine
     from coslam_tpu.io.ate import ate_rmse
     cfg = _cfg(C)
-    K = np.stack([K1] * C)
+    if cfg_mut is not None:
+        cfg = cfg_mut(cfg)
+    K = np.stack([K1 if K is None else K] * C)
     kc = np.zeros((C, 5), np.float32) if kc is None else kc
     # production engine configuration: chunked device driving (one round
     # trip per 6 frames; the same mode bench.py measures as the resident
@@ -118,7 +133,7 @@ def _run(name, C, frames, Rs_gt, ts_gt, kc=None):
     # decode-host feeding model; over the axon tunnel host-fed f32 frames
     # are LINK-bound at ~2 f/s, which measures the tunnel, not the
     # engine). fps below is the engine number over pre-staged frames.
-    eng = CoSlamEngine(cfg, K, kc, chunk=6)
+    eng = CoSlamEngine(cfg, K, kc, chunk=6, mesh=mesh)
     F = frames.shape[0]
     stage = jax.device_put(jnp.asarray(frames, jnp.float16))
     _ = np.asarray(stage[0, 0, 0, 0])          # staging complete
@@ -138,7 +153,7 @@ def _run(name, C, frames, Rs_gt, ts_gt, kc=None):
     path = float(np.linalg.norm(np.diff(ctr, axis=0), axis=1).sum())
     row = {
         "config": name, "cams": C, "frames": F,
-        "shape": f"{W}x{H}",
+        "shape": f"{frames.shape[3]}x{frames.shape[2]}",
         "ate": [round(float(a), 4) for a in ates],
         "ate_max": round(float(max(ates)), 4),
         "ate_pct_path": round(100 * float(max(ates)) / max(path, 1e-6), 2),
@@ -150,6 +165,20 @@ def _run(name, C, frames, Rs_gt, ts_gt, kc=None):
     }
     print(f"  [{name}] ATE={row['ate']} ({row['ate_pct_path']}% of "
           f"{path:.1f}u path) fps={row['fps']}", flush=True)
+    # engine wall-clock breakdown (the 58-vs-1.5 f/s reconciliation
+    # evidence): where the long-horizon run actually spends its time
+    tt = sorted(eng.timing.items(), key=lambda kv: -kv[1])
+    tot = sum(eng.timing.values())
+    print(f"  [{name}] timing total {tot:.1f}s over {dt:.1f}s wall: "
+          + " ".join(f"{k}={v:.1f}" for k, v in tt[:12]), flush=True)
+    # group split/merge evidence: print every group-id transition
+    trans = []
+    for i in range(1, len(eng.group_hist)):
+        if eng.group_hist[i] != eng.group_hist[i - 1]:
+            trans.append((i, eng.group_hist[i]))
+    if trans or eng.merge_log or eng.loop_log:
+        print(f"  [{name}] group transitions={trans} "
+              f"merges={eng.merge_log} loops={eng.loop_log}", flush=True)
     return row
 
 
@@ -216,7 +245,55 @@ def config_mono_loop(F, rng):
                               chunk=8).astype(np.float16)
         np.savez_compressed(cache, frames=frames)
         frames = frames.astype(np.float32)[:, None]
-    return _run("mono_loop", 1, frames, Rs_gt, ts_gt)
+    row = _run("mono_loop", 1, frames, Rs_gt, ts_gt)
+    # loop-disabled control: same sequence, closure attempts gated off —
+    # quantifies what the Sim(3) loop correction buys at production scale
+    import dataclasses
+    ctrl = _run("mono_loop_ctrl", 1, frames, Rs_gt, ts_gt,
+                cfg_mut=lambda c: dataclasses.replace(
+                    c, p=dataclasses.replace(c.p,
+                                             loop_min_interval=10 ** 9)))
+    row["ate_noloop_control"] = ctrl["ate_max"]
+    return row
+
+
+def config_fivecam_mesh(F, rng):
+    """BASELINE config 5 (five cameras, multi-host) end to end: the FULL
+    engine on a 5-device camera mesh — fused step sharded
+    one-camera-per-device via shard_map, cadence under GSPMD. Without
+    multi-chip hardware this runs on the virtual CPU mesh
+    (xla_force_host_platform_device_count), so the shape is reduced
+    (320x240) to keep CPU wall-clock sane and fps is NOT a TPU number;
+    the ATE + the step_scaling rows (same harness that will produce the
+    real efficiency number on hardware) are the evidence. Run with:
+
+        XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
+        COSLAM_CPU_MESH=1 python examples/accuracy_bench.py fivecam_mesh
+    """
+    import dataclasses
+    import jax
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    if len(devs) < 5:
+        raise SystemExit(
+            "fivecam_mesh needs >=5 devices; set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=8 "
+            "COSLAM_CPU_MESH=1 (or run on real multi-chip hardware)")
+    h2, w2 = 240, 320
+    K2 = np.array([[250.0, 0, w2 / 2], [0, 250.0, h2 / 2], [0, 0, 1]],
+                  dtype=np.float32)
+    frames, Rs, ts = _rig_frames(rng, 5, F, baseline=0.8, forward=0.04,
+                                 hw=(h2, w2), K=K2)
+    mesh = Mesh(np.array(devs[:5]), ("cam",))
+    row = _run("fivecam_mesh", 5, frames, Rs, ts, K=K2, mesh=mesh,
+               cfg_mut=lambda c: dataclasses.replace(
+                   c, image_height=h2, image_width=w2))
+    # scaling-efficiency rows from the same session (the sub-mesh harness
+    # BASELINE's >=70%-at-2-hosts target reads from on real hardware)
+    from coslam_tpu.parallel.scaling import step_scaling
+    row["step_scaling"] = step_scaling(device_counts=(1, 2, 4),
+                                       n_cams=8, h=h2, w=w2, iters=4)
+    return row
 
 
 def config_splitmerge(F, rng):
@@ -264,9 +341,11 @@ CONFIGS = {
     "splitmerge": config_splitmerge,
     "distorted": config_distorted,
     "mono_loop": config_mono_loop,
+    "fivecam_mesh": config_fivecam_mesh,
 }
 DEFAULT_FRAMES = {"mono": 500, "twocam": 500, "threecam_dyn": 500,
-                  "splitmerge": 400, "distorted": 300, "mono_loop": 400}
+                  "splitmerge": 400, "distorted": 300, "mono_loop": 400,
+                  "fivecam_mesh": 150}
 
 
 def write_accuracy_md(rows):
@@ -324,7 +403,9 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="short sanity run (60 frames)")
     args = ap.parse_args()
-    names = args.configs or list(CONFIGS)
+    # fivecam_mesh needs a multi-device mesh (COSLAM_CPU_MESH=1 or real
+    # hardware) — run it explicitly, not as part of the default sweep
+    names = args.configs or [n for n in CONFIGS if n != "fivecam_mesh"]
     path = os.path.join(os.path.dirname(__file__), "..", "ACCURACY.json")
 
     def merged(rows):
