@@ -258,6 +258,9 @@ def _engine_bench(out, cfg, rng, C, H, W):
             if _left() < 15 and done - warm >= 10:
                 break
         dt = time.perf_counter() - t0
+        # frames still sitting in the chunk buffer were fed but not
+        # processed inside the timed window — don't count them
+        done -= len(eng._chunk_buf)
         if chunk > 1:
             # flush OUTSIDE the timed window: the partial-tail flush runs
             # the single-frame graph, whose one-time compile would

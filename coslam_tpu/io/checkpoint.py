@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from coslam_tpu.slam.state import (SlamState, TrackTable, MapPoints,
                                    KeyframeStore)
 
-_FORMAT_VERSION = 3   # v3: long-horizon history/pose rings (60-frame classify window)
+_FORMAT_VERSION = 4   # v4: pyramid derivatives stored for level 0 only
+# v3: long-horizon history/pose rings (60-frame classify window)
 
 
 def _flatten_state(state: SlamState) -> dict:
@@ -54,8 +55,15 @@ def _unflatten_state(d: dict) -> SlamState:
 
 def save_checkpoint(path: str, engine):
     """Write the engine's full state (device + host logs) to ``path``."""
-    if getattr(engine, "chunk", 1) > 1:
-        engine._flush_chunk()        # drain pending stats + buffered frames
+    # drain pending stats + buffered frames AND any overlap-deferred
+    # single-frame stats (the chunk flush's tail frames go through the
+    # single-frame path, which with overlap=True re-defers each frame's
+    # stats into _pending_fs; a chunk=1 overlap engine only ever uses
+    # that path) — otherwise the last frame's pose is missing from traj
+    # while meta['frame'] counts it, and the resumed trajectory comes
+    # out one entry short against ground truth
+    engine._flush_chunk()
+    engine._flush_overlap()
     if getattr(engine, "_pending_ba", None) is not None:
         engine._apply_pending_ba()   # checkpoint BA-consistent state
     arrays = _flatten_state(engine.state)
@@ -114,6 +122,10 @@ def load_checkpoint(path: str, engine):
                   "state.pose_hist_long_R", "state.pose_hist_long_t"):
             if k not in d:
                 d[k] = fresh[k]
+    elif meta["version"] == 3:
+        # v3 -> v4: v3 stored pyramid derivatives for every level; the
+        # loader below reads level 0 only and ignores the extras.
+        pass
     elif meta["version"] != _FORMAT_VERSION:
         raise ValueError(
             f"checkpoint format v{meta['version']} != supported "

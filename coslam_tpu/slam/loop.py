@@ -20,9 +20,10 @@ single-group drift loops:
      to the full correction now; the dormant anchor map stays put
      (anchor_before); re-acquired points re-bind to live features.
 
-Scope note: the correction is SE(3); monocular *scale* drift (the dominant
-error in long pure-rotation stretches) is untouched — a Sim(3) correction
-with depth-ratio scale evidence is the planned extension (ROADMAP).
+Scope note: the correction is Sim(3) — depth-ratio scale evidence from
+the matched pairs (see ``attempt_loop_closure`` below) feeds
+``apply_group_transform``'s scale, so monocular scale drift accumulated
+since the anchor is corrected at the revisit, not just the SE(3) part.
 """
 
 from __future__ import annotations

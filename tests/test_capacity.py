@@ -12,6 +12,9 @@ from coslam_tpu.config import small_test_config
 from coslam_tpu.io.synthetic import make_room, orbit_trajectory, render_sequence
 from coslam_tpu.slam.pipeline import CoSlamEngine
 from coslam_tpu.slam.state import ST_ALIVE
+import pytest
+
+pytestmark = pytest.mark.slow
 
 H, W = 150, 200
 KMAT = np.array([[[180.0, 0, 100], [0, 180.0, 75], [0, 0, 1]]],

@@ -15,6 +15,8 @@ from coslam_tpu.io.synthetic import make_room, render_sequence, render
 from coslam_tpu.io.ate import ate_rmse
 from coslam_tpu.slam.pipeline import CoSlamEngine
 
+pytestmark = pytest.mark.slow
+
 H, W = 120, 160
 K1 = np.array([[150.0, 0, 80], [0, 150.0, 60], [0, 0, 1]], np.float32)
 

@@ -14,6 +14,8 @@ from coslam_tpu.slam.state import ST_FREE, ST_ALIVE, PT_STATIC, PT_DYNAMIC
 from coslam_tpu.slam.intercam import intercam_map_group
 from coslam_tpu.ops import build_pyramid
 
+pytestmark = pytest.mark.slow
+
 H, W = 150, 200
 K1 = np.array([[180.0, 0, 100], [0, 180.0, 75], [0, 0, 1]], dtype=np.float32)
 

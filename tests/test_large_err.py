@@ -13,6 +13,8 @@ from coslam_tpu.geometry.se3 import so3_exp
 from coslam_tpu.slam import steps
 from coslam_tpu.slam.pipeline import CoSlamEngine
 
+pytestmark = pytest.mark.slow
+
 H, W = 120, 160
 K1 = np.array([[150.0, 0, 80], [0, 150.0, 60], [0, 0, 1]], np.float32)
 

@@ -11,6 +11,8 @@ from coslam_tpu.geometry.se3 import so3_exp
 from coslam_tpu.slam.pipeline import CoSlamEngine
 from coslam_tpu.io.ate import ate_rmse
 
+pytestmark = pytest.mark.slow
+
 C, H, W = 2, 150, 200
 K1 = np.array([[180.0, 0, 100], [0, 180.0, 75], [0, 0, 1]], dtype=np.float32)
 F = 100

@@ -12,6 +12,8 @@ from coslam_tpu.io.synthetic import (make_room, orbit_trajectory,
 from coslam_tpu.io.ate import ate_rmse
 from coslam_tpu.slam.pipeline import CoSlamEngine
 
+pytestmark = pytest.mark.slow
+
 H, W = 150, 200
 K1 = np.array([[180.0, 0, 100], [0, 180.0, 75], [0, 0, 1]], dtype=np.float32)
 
