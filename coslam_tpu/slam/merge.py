@@ -270,11 +270,20 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
     # 8px inlier gate: wide-baseline NCC matches against a drifted map
     # carry ~5-10px of noise (discrete corner positions + map drift) —
     # the IRLS polish and the post-merge joint BA tighten from there
+    # PROSAC-tiered sampling by NCC score (a repetitive-texture bridge
+    # yields ~80% wrong mutual-best matches — uniform 6-point sampling
+    # cannot survive that, while the top-matches-by-NCC tier measured
+    # ~86% inliers on the same data). The current pose is deliberately
+    # NOT seeded as a hypothesis here: the bridge must stay an
+    # INDEPENDENT measurement of camera b against the anchor map (its
+    # baseline is the sanity check, and the no-op test below compares
+    # identity separately).
+    ncc_sc = np.asarray(m.score)[pairs[bound]]
     res_pnp = ransac_pnp(
         jax.random.PRNGKey(int(state.frame)),
         jnp.asarray(X_anchor, jnp.float32), jnp.asarray(xn_b, jnp.float32),
         jnp.ones(len(X_anchor), bool), num_hypotheses=1024,
-        thresh=8.0 / fpx)
+        thresh=8.0 / fpx, score=jnp.asarray(ncc_sc, jnp.float32))
     n_matches = int(res_pnp.num_inliers)
     if n_matches < 10:
         _dbg(f"reject: PnP inliers {n_matches} < 10 of {len(X_anchor)}")
@@ -352,16 +361,26 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
     K_b = np.asarray(K[b])
 
     def _reproj_err(R_h, t_h):
+        """Full-length per-pair error (inf where behind the camera)."""
         Xc_h = Xm_v @ R_h.T + t_h
         z_h = np.where(np.abs(Xc_h[:, 2]) < 1e-9, 1e-9, Xc_h[:, 2])
         u_h = Xc_h[:, 0] / z_h * K_b[0, 0] + K_b[0, 2]
         v_h = Xc_h[:, 1] / z_h * K_b[1, 1] + K_b[1, 2]
         e_h = np.hypot(u_h - pos_b[:, 0], v_h - pos_b[:, 1])
-        return e_h[Xc_h[:, 2] > 1e-3], Xc_h
+        return np.where(Xc_h[:, 2] > 1e-3, e_h, np.inf), Xc_h
 
+    # gates run on each pose's OWN consensus set, not on all matched
+    # pairs: a repetitive-texture bridge is ~80% wrong mutual-best
+    # matches, so a median over everything sits on the error of a WRONG
+    # match (~200 px) and rejects every working bridge. Consensus size +
+    # consensus median is the verification pair.
+    gate_px = float(p.pixel_err_var)
     err_v, Xc_v = _reproj_err(R_b_new, t_b_new)
-    if len(err_v) < 8 or float(np.median(err_v)) > p.pixel_err_var:
-        _dbg(f"reject: verify n={len(err_v)} med={float(np.median(err_v)) if len(err_v) else -1:.2f}")
+    in_sol = err_v < gate_px
+    med_sol = float(np.median(err_v[in_sol])) if in_sol.sum() else np.inf
+    if int(in_sol.sum()) < 8 or med_sol > gate_px:
+        _dbg(f"reject: verify consensus {int(in_sol.sum())} of "
+             f"{len(err_v)} med={med_sol:.2f}")
         return MergeResult(False, state, 1.0, n_matches)
     # no-op hypothesis: if camera b's CURRENT pose already explains the
     # anchor-map bridge observations as well as the solved pose does, the
@@ -373,11 +392,21 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
     # distance gates at SL_MergeCameraGroup.cpp:56-177 play this
     # conservative role).
     err_id, _ = _reproj_err(R[b], t[b])
-    med_id = float(np.median(err_id)) if len(err_id) >= 8 else np.inf
-    med_sol = float(np.median(err_v))
-    if med_id <= p.pixel_err_var and med_id <= 1.25 * med_sol:
-        return MergeResult(True, state, scale, n_matches,
-                           scale_move=1.0, noop=True)
+    in_id = err_id < gate_px
+    med_id = float(np.median(err_id[in_id])) if int(in_id.sum()) >= 8 \
+        else np.inf
+    _dbg(f"noop-test: count_sol={int(in_sol.sum())} med_sol={med_sol:.2f} "
+         f"count_id={int(in_id.sum())} med_id={med_id:.2f} "
+         f"baseline={scale:.3f}")
+    if med_id <= gate_px and int(in_id.sum()) >= 0.8 * int(in_sol.sum()):
+        # identity committed: record the CURRENT inter-camera baseline
+        # (the geometry actually kept), not the PnP pose's — with a
+        # narrow match strip the PnP baseline rides a bas-relief
+        # ambiguity the no-op decision just declared irrelevant
+        c_a = -R[a].T @ t[a]
+        c_b = -R[b].T @ t[b]
+        return MergeResult(True, state, float(np.linalg.norm(c_a - c_b)),
+                           n_matches, scale_move=1.0, noop=True)
     # moving-group scale drift (Sim(3) correction): the bridge features
     # bound to BOTH groups' maps see the same physical points along the
     # same rays from camera b — the anchor-depth / moving-depth ratio is
@@ -401,7 +430,9 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
             dpx = np.linalg.norm(
                 pos_b[:, None] - np.stack([ub, vb], -1)[None], axis=-1)
             jn = dpx.argmin(1)
-            okp = (dpx.min(1) < 3.0) & (Xc_v[:, 2] > 1e-3)
+            # scale evidence only from pairs the solved pose verified —
+            # wrong mutual-best matches must not vote on the drift scale
+            okp = (dpx.min(1) < 3.0) & (Xc_v[:, 2] > 1e-3) & in_sol
             if okp.sum() >= 8:
                 ratio = Xc_v[okp, 2] / np.maximum(zb[jn[okp]], 1e-6)
                 s_est = consensus_log_scale(ratio, min_members=8,

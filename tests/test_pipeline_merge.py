@@ -74,7 +74,16 @@ def test_merge_happens_on_reoverlap(split_merge_run):
     assert len(real) >= 1
     m = real[-1]
     assert m["frame"] >= 70          # after the views re-overlap
-    assert 0.3 < m["scale"] < 3.0    # metric scale recovered sanely
+    if m.get("noop"):
+        # identity explained the bridge: no realignment, no rescale —
+        # the logged baseline is the kept geometry. (At this toy scale
+        # the ~30-match bridge strip leaves the PnP baseline on a
+        # bas-relief manifold, so asserting its magnitude would assert
+        # sampling luck; the alignment quality is pinned by
+        # test_post_merge_alignment's final-pose checks.)
+        assert m["scale_move"] == 1.0
+    else:
+        assert 0.3 < m["scale"] < 3.0    # metric scale recovered sanely
     # n_matches counts PnP-against-the-anchor-map inliers (map-verified
     # matches — a much stricter filter than the old E-matrix inliers,
     # so the floor is lower)
