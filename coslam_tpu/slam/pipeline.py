@@ -273,10 +273,12 @@ class CoSlamEngine:
                 frame=self.state.frame + 1)
             self._tick("tracking", _tt)
             if not self.bootstrapped:
+                _tt = _time.perf_counter()
                 if cfg.num_cameras > 1:
                     stats["bootstrap"] = self._bootstrap_multicam(pyr)
                 elif self.frame >= cfg.p.init_frames:
                     stats["bootstrap"] = self._bootstrap(pyr)
+                self._tick("bootstrap", _tt)
             else:
                 stats.update(self._tracked_frame(pyr))
         self._record_pose()
@@ -732,16 +734,17 @@ class CoSlamEngine:
                     # failed-attempt backoff: a bridge attempt costs real
                     # time (NCC search + PnP + several device round trips
                     # — measured ~48% of a 500-frame production run when
-                    # retried every grouping tick through a long split);
-                    # while the predicted overlap persists but the bridge
-                    # keeps failing, retry less and less often (capped).
+                    # retried every grouping tick through a long split).
+                    # The cap stays TIGHT (one skipped grouping tick): a
+                    # camera group drifting alone diverges fast, and an
+                    # aggressive 8x backoff measurably let a split rig
+                    # fragment before the bridge got its retry (the cost
+                    # being RTT-bound on a tunneled device, halving the
+                    # attempt rate is the whole win on co-located hosts).
                     if len(np.unique(self.group_id)) < n_groups:
                         self._merge_backoff = 0   # unified (merge or noop)
                     else:
-                        self._merge_backoff = min(
-                            max(2 * GROUPING_INTERVAL,
-                                self._merge_backoff * 2),
-                            8 * GROUPING_INTERVAL)
+                        self._merge_backoff = 2 * GROUPING_INTERVAL
             t0 = self._tick("cad_merge", t0)
         else:
             grouping_due = self.frame - self._last_grouping >= \
@@ -1073,12 +1076,17 @@ class CoSlamEngine:
             # a no-op unify skips the REALIGNMENT, not the polish — the
             # wide window covering both chains' separation-era keyframes,
             # anchored by the just-re-registered shared observations,
-            # absorbs the residual drift both groups accumulated apart
-            self.state = self.state._replace(
-                kfs=steps.add_keyframe(self.state))
-            self.kf_frames.append(self.frame)
-            self._kf_pose_host = None
-            self._run_ba(sync=True, window=cfg.p.merge_ba_window)
+            # absorbs the residual drift both groups accumulated apart.
+            # Only for separations long enough to have accumulated any
+            # (an occlusion flap of a few frames has nothing to polish,
+            # and a wide window with near-zero cross observations can
+            # only shake the chains)
+            if self.frame - f_sep > 2 * cfg.p.keyframe_min_interval:
+                self.state = self.state._replace(
+                    kfs=steps.add_keyframe(self.state))
+                self.kf_frames.append(self.frame)
+                self._kf_pose_host = None
+                self._run_ba(sync=True, window=cfg.p.merge_ba_window)
             return
         if res.ok:
             # bCancelBA: an in-flight BA solved against pre-merge geometry

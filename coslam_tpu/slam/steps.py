@@ -463,45 +463,59 @@ def new_map_points(state: SlamState, pyr_cur: Pyramid, K: jnp.ndarray,
     # refinement lands mid-trajectory and the endpoint errors expose the
     # motion; this keeps slow movers out of the static map the same way
     # the reference's refine-then-recheck does.
-    Hh = [[jnp.full((C, N), 1e-9 if i == j else 0.0, dt)
-           for j in range(3)] for i in range(3)]
-    gh = [jnp.zeros((C, N), dt) for _ in range(3)]
-
-    def _acc_view(Rm, tm, xn, yn, wc):
-        # Rm: 3x3 nested list of [C,N]-broadcastable, tm: 3-list
-        M1 = [xn * Rm[2][j] - Rm[0][j] for j in range(3)]
-        M2 = [yn * Rm[2][j] - Rm[1][j] for j in range(3)]
-        b1 = tm[0] - xn * tm[2]
-        b2 = tm[1] - yn * tm[2]
-        for i in range(3):
-            for j in range(i + 1):
-                Hh[i][j] = Hh[i][j] + wc * (M1[i] * M1[j] + M2[i] * M2[j])
-            gh[i] = gh[i] + wc * (M1[i] * b1 + M2[i] * b2)
-
     R_cur = [[jnp.broadcast_to(state.R[:, i, j][:, None], (C, N))
               for j in range(3)] for i in range(3)]
     t_cur = [jnp.broadcast_to(state.t[:, i][:, None], (C, N))
              for i in range(3)]
-    _acc_view(R_cur, t_cur, x_now[:, 0], y_now[:, 0], jnp.ones((C, N), dt))
-    for k in range(Ts):
-        Rk = [[Rp[:, k, i, j][:, None] for j in range(3)] for i in range(3)]
-        tk = [tp[:, k, i][:, None] for i in range(3)]
-        _acc_view(Rk, tk, x_past[:, k], y_past[:, k],
-                  hist_ok[:, k].astype(dt))
-    Xb = solve3x3_sym_ln(Hh, gh)                                   # 3 x [C,N]
 
-    def _reproj_err2_pt(Rm, tm, px_x, px_y):
-        Xc = [Rm[i][0] * Xb[0] + Rm[i][1] * Xb[1] + Rm[i][2] * Xb[2] + tm[i]
-              for i in range(3)]
+    def _solve_chain(w_hist):
+        """Weighted multi-view DLT over current view (weight 1) + the Ts
+        history views (weights [C, Ts, N])."""
+        Hh = [[jnp.full((C, N), 1e-9 if i == j else 0.0, dt)
+               for j in range(3)] for i in range(3)]
+        gh = [jnp.zeros((C, N), dt) for _ in range(3)]
+
+        def acc(Rm, tm, xn, yn, wc):
+            M1 = [xn * Rm[2][j] - Rm[0][j] for j in range(3)]
+            M2 = [yn * Rm[2][j] - Rm[1][j] for j in range(3)]
+            b1 = tm[0] - xn * tm[2]
+            b2 = tm[1] - yn * tm[2]
+            for i in range(3):
+                for j in range(i + 1):
+                    Hh[i][j] = Hh[i][j] + wc * (M1[i] * M1[j]
+                                                + M2[i] * M2[j])
+                gh[i] = gh[i] + wc * (M1[i] * b1 + M2[i] * b2)
+
+        acc(R_cur, t_cur, x_now[:, 0], y_now[:, 0], jnp.ones((C, N), dt))
+        for k in range(Ts):
+            Rk = [[Rp[:, k, i, j][:, None] for j in range(3)]
+                  for i in range(3)]
+            tk = [tp[:, k, i][:, None] for i in range(3)]
+            acc(Rk, tk, x_past[:, k], y_past[:, k], w_hist[:, k])
+        return solve3x3_sym_ln(Hh, gh)                     # 3 x [C,N]
+
+    def _reproj_err2_at(Xq, Rm, tm, px_x, px_y):
+        Xc = [Rm[i][0] * Xq[0] + Rm[i][1] * Xq[1] + Rm[i][2] * Xq[2]
+              + tm[i] for i in range(3)]
         z = Xc[2]
         zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
         du = fx[:, 0] * Xc[0] * zi + cx[:, 0] - px_x
         dv = fy[:, 0] * Xc[1] * zi + cy[:, 0] - px_y
         return du * du + dv * dv, z
 
-    e2r_now, z_now = _reproj_err2_pt(R_cur, t_cur, tracks.pos[..., 0],
+    # single strict pass: every valid history view participates and the
+    # endpoint recheck must hold on the full-chain fit. (A robust
+    # drop-the-disagreeing-views reweight pass was tried and REJECTED: it
+    # admits ~2x more points but of measurably worse quality — the
+    # three-camera dynamic rig's ATE doubled — because a point whose
+    # history disagrees with a rigid chain fit is exactly what this gate
+    # exists to keep out.)
+    Xb = _solve_chain(hist_ok.astype(dt))
+
+    e2r_now, z_now = _reproj_err2_at(Xb, R_cur, t_cur,
+                                     tracks.pos[..., 0],
                                      tracks.pos[..., 1])
-    e2r_past, z_past = _reproj_err2_pt(Rb9, tb3, takeT(hx), takeT(hy))
+    e2r_past, z_past = _reproj_err2_at(Xb, Rb9, tb3, takeT(hx), takeT(hy))
     refine_ok = (e2r_now < gate2) & (e2r_past < gate2) & \
         (z_now > 1e-3) & (z_past > 1e-3)
     X_new = jnp.stack(Xb, axis=-1)                                 # [C,N,3]
