@@ -129,7 +129,9 @@ def close_loop(state: SlamState, cfg: SlamConfig, pyr, K, kc,
     mask = np.zeros(L, bool)
     mask[:len(idx)] = True
     centers = np.stack([u[idxp], v[idxp]], -1).astype(np.float32)
-    templates = jnp.asarray(np.asarray(mp.ncc[:, c])[idxp])
+    # gather on DEVICE: pulling the full [P, 121] template plane to host
+    # first costs a multi-MB tunnel transfer per attempt
+    templates = mp.ncc[jnp.asarray(idxp), c]
     # 2. template search around the projections (drift displaces them)
     best_px, score = ncc_search(pyr.imgs[0][c], jnp.asarray(centers),
                                 templates, search_radius=search_radius,

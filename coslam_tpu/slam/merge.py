@@ -262,14 +262,36 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
              f"of {len(pairs)}")
         return MergeResult(False, state, 1.0, len(pairs))
     feats_a = pairs                       # downstream indexes [bound]
+    # fixed-capacity padding for the device solvers: the bound-pair count
+    # differs at EVERY attempt, and eager jax ops compile a fresh
+    # executable per distinct shape — over the tunneled backend that is
+    # ~15 s of hidden compile time per failed attempt (measured:
+    # cad_merge was ~70% of a long split run's wall clock). Padding to
+    # MAXB keeps one cached executable for every attempt; overflow keeps
+    # the best-scored pairs.
+    MAXB = 512
+    bidx_all = np.nonzero(bound)[0]
+    sc_all = np.asarray(m.score)[pairs[bound]]
+    if len(bidx_all) > MAXB:
+        keep = np.sort(np.argsort(-sc_all)[:MAXB])
+        bound = np.zeros_like(bound)
+        bound[bidx_all[keep]] = True
+    nb = int(bound.sum())
     X_anchor = np.asarray(mp.xyz)[mpt_a[bound]]
     xn_b = np.asarray(cam.normalize_points(tracks.pos[b], K[b],
                                            kc[b]))[sel[pairs[bound]]]
+    ncc_sc = np.asarray(m.score)[pairs[bound]]
+    pad = MAXB - nb
+    X_pad = np.pad(X_anchor.astype(np.float32), ((0, pad), (0, 0)))
+    xn_pad = np.pad(xn_b.astype(np.float32), ((0, pad), (0, 0)))
+    sc_pad = np.pad(ncc_sc.astype(np.float32), (0, pad),
+                    constant_values=-2.0)
+    mask_pad = np.arange(MAXB) < nb
     from coslam_tpu.geometry.pnp import ransac_pnp
     fpx = float(np.asarray(K[b])[0, 0])
     # 8px inlier gate: wide-baseline NCC matches against a drifted map
     # carry ~5-10px of noise (discrete corner positions + map drift) —
-    # the IRLS polish and the post-merge joint BA tighten from there
+    # the IRLS polish and the post-merge joint BA tighten from there.
     # PROSAC-tiered sampling by NCC score (a repetitive-texture bridge
     # yields ~80% wrong mutual-best matches — uniform 6-point sampling
     # cannot survive that, while the top-matches-by-NCC tier measured
@@ -278,15 +300,14 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
     # INDEPENDENT measurement of camera b against the anchor map (its
     # baseline is the sanity check, and the no-op test below compares
     # identity separately).
-    ncc_sc = np.asarray(m.score)[pairs[bound]]
     res_pnp = ransac_pnp(
         jax.random.PRNGKey(int(state.frame)),
-        jnp.asarray(X_anchor, jnp.float32), jnp.asarray(xn_b, jnp.float32),
-        jnp.ones(len(X_anchor), bool), num_hypotheses=1024,
-        thresh=8.0 / fpx, score=jnp.asarray(ncc_sc, jnp.float32))
+        jnp.asarray(X_pad), jnp.asarray(xn_pad),
+        jnp.asarray(mask_pad), num_hypotheses=1024,
+        thresh=8.0 / fpx, score=jnp.asarray(sc_pad))
     n_matches = int(res_pnp.num_inliers)
     if n_matches < 10:
-        _dbg(f"reject: PnP inliers {n_matches} < 10 of {len(X_anchor)}")
+        _dbg(f"reject: PnP inliers {n_matches} < 10 of {nb}")
         import os as _os
         if _os.environ.get("COSLAM_MERGE_DEBUG"):
             np.savez(f"/tmp/merge_reject_f{int(state.frame)}.npz",
@@ -299,9 +320,10 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
         return MergeResult(False, state, 1.0, n_matches)
     from coslam_tpu.solvers.pose import irls_pose
     px_b = np.asarray(tracks.pos[b])[sel[pairs[bound]]]
+    px_b_pad = np.pad(px_b.astype(np.float32), ((0, pad), (0, 0)))
     pol = irls_pose(K[b], res_pnp.R, res_pnp.t,
-                    jnp.asarray(X_anchor, jnp.float32),
-                    jnp.asarray(px_b, jnp.float32), res_pnp.inliers,
+                    jnp.asarray(X_pad),
+                    jnp.asarray(px_b_pad), res_pnp.inliers,
                     tau=float(p.max_err))
     R_b_pnp = np.asarray(pol.R)
     t_b_pnp = np.asarray(pol.t)

@@ -159,6 +159,7 @@ class CoSlamEngine:
         self.loop_log: list[dict] = []   # committed loop closures
         self._last_closure = 0
         self._last_loop_attempt = -10**9
+        self._loop_backoff = GROUPING_INTERVAL
         self._scan_frame = -1            # device candidate-scan cache
         self._scan_cache = None
         self._pose_prefetch = None       # async-copied packed poses (set
@@ -1167,7 +1168,7 @@ class CoSlamEngine:
         p = cfg.p
         if self.frame - self._last_closure < p.loop_min_interval:
             return
-        if self.frame - self._last_loop_attempt < GROUPING_INTERVAL:
+        if self.frame - self._last_loop_attempt < self._loop_backoff:
             return
         if self.merge_log and self.frame - self.merge_log[-1]["frame"] <= 12:
             return   # settle window after a merge
@@ -1175,16 +1176,27 @@ class CoSlamEngine:
         # of the full hull-masked test — skips the host map pull)
         _, _, dorm_counts = self._candidate_scan()
         if dorm_counts.max(initial=0) < p.loop_overlap_min:
+            # dormant coverage fell away: the next revisit retries fresh
+            self._loop_backoff = GROUPING_INTERVAL
             return
         from coslam_tpu.slam.loop import find_loop_candidates, close_loop
+        self._last_loop_attempt = self.frame
         cands = find_loop_candidates(self.state, cfg, np.asarray(self.K))
         if not cands:
             return
-        self._last_loop_attempt = self.frame
         res = close_loop(self.state, cfg, pyr, self.K, self.kc,
                          self.group_id, cands[0][0])
         if not res.ok:
+            # failed-attempt backoff (same rationale as the merge bridge:
+            # an attempt is NCC searches + several round trips; a dwell
+            # where the closure keeps failing — thin matches, view still
+            # oblique — must not pay it every grouping tick). Capped
+            # small: a revisit dwell is tens of frames.
+            self._loop_backoff = min(
+                max(2 * GROUPING_INTERVAL, self._loop_backoff * 2),
+                4 * GROUPING_INTERVAL)
             return
+        self._loop_backoff = GROUPING_INTERVAL
         # poses were rewritten: drop any in-flight BA, refresh host caches
         self._cancel_pending_ba()
         self.state = res.state
