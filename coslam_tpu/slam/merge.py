@@ -230,9 +230,22 @@ def merge_groups(state: SlamState, cfg: SlamConfig, pyr, K, kc,
                                         p.ncc_patch_radius)
     blocks_b, ok_b = extract_ncc_blocks(pyr.imgs[0][b], tracks.raw[b],
                                         p.ncc_patch_radius)
+    # disparity prior: the bridging cameras are one physical rig's
+    # cameras looking at a shared scene, so TRUE correspondences lie
+    # within a bounded pixel disparity regardless of how wrong the
+    # drifted/stale POSE estimates are (pixel positions are
+    # pose-independent). Unguided mutual-best NCC on repetitive texture
+    # measured only ~20% correct with wrong matches spread ~100+ px —
+    # the bound removes most of them before they can starve the PnP
+    # floor (the reference's checkViewOverlap distance gates play the
+    # same role, SL_MergeCameraGroup.cpp:56-177).
+    # (measured on the occlusion scenario: true correspondences sit at
+    # ~0.1-0.15 image widths of disparity, wrong mutual-best matches at
+    # ~0.3-0.5 — 0.3*W keeps essentially all true pairs)
     m = guided_match(blocks_a, blocks_b, ok_a & static_feat[a],
                      ok_b & static_feat[b], tracks.pos[a], tracks.pos[b],
-                     F=None, min_ncc=p.ncc_min_score, rounds=8)
+                     F=None, min_ncc=p.ncc_min_score, rounds=8,
+                     max_disparity=0.3 * cfg.image_width)
     sel = np.asarray(m.a_to_b)
     pairs = np.nonzero(sel >= 0)[0]
     if len(pairs) < 16:
