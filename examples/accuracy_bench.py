@@ -395,7 +395,7 @@ def write_accuracy_md(rows):
         "Sim(3)-aligned RMSE of camera centers over ALL frames (the",
         "exported, chain-corrected trajectory — the same surface the",
         "reference exports, SL_CoSLAM.cpp:1914-2031). Room size = 10",
-        "units; ATE%% is relative to the camera-0 path length.",
+        "units; ATE% is relative to the camera-0 path length.",
         "",
         f"Last run: {time.strftime('%Y-%m-%d %H:%M')} on `{dev}`.",
         "",
