@@ -378,7 +378,7 @@ def new_map_points(state: SlamState, pyr_cur: Pyramid, K: jnp.ndarray,
     # 3-vectors/3x3s are unrolled component arrays ([C, T, N, 3]-trailing
     # layouts waste ~96% of each vector tile)
     from coslam_tpu.geometry.triangulate import (
-        triangulate_two_view_midpoint_ln, inv3x3_sym_ln, solve3x3_sym_ln)
+        inv3x3_sym_ln, solve3x3_sym_ln)
     fx = K[:, 0, 0][:, None, None]
     fy = K[:, 1, 1][:, None, None]
     cx = K[:, 0, 2][:, None, None]
@@ -418,37 +418,32 @@ def new_map_points(state: SlamState, pyr_cur: Pyramid, K: jnp.ndarray,
     tp = jnp.take(state.pose_hist_t, ring, axis=1)                 # [C,T,3]
     x_past = (hx - cx) / fx                                        # [C,T,N]
     y_past = (hy - cy) / fy
-    Xl, s_now, s_past, pcos = triangulate_two_view_midpoint_ln(
-        state.R[:, None], state.t[:, None], Rp, tp,
-        x_now, y_now, x_past, y_past)          # 3 x [C,T,N], [C,T,N]
-
-    def reproj_err2(R, t, px_x, px_y):
-        """R: [...,3,3]/t: [...,3] broadcastable; px on lanes."""
-        Xc = [R[..., i, 0][..., None] * Xl[0]
-              + R[..., i, 1][..., None] * Xl[1]
-              + R[..., i, 2][..., None] * Xl[2]
-              + t[..., i][..., None] for i in range(3)]
-        z = Xc[2]
-        zi = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
-        du = fx * Xc[0] * zi + cx - px_x
-        dv = fy * Xc[1] * zi + cy - px_y
-        return du * du + dv * dv
-
-    e2_now = reproj_err2(state.R[:, None], state.t[:, None],
-                         tracks.pos[..., 0][:, None],
-                         tracks.pos[..., 1][:, None])
-    e2_past = reproj_err2(Rp, tp, hx, hy)
+    # second-view selection by RAY-ANGLE parallax only. (The per-offset
+    # two-view midpoint triangulation + reprojection pre-gates that used
+    # to run here fed nothing but gates the full-chain refinement +
+    # endpoint recheck below strictly supersede — and that [C,Ts,N]
+    # block was the single most expensive stage of the fused step,
+    # ~1.3 ms of the 6 ms step at 3x640x480. Cheirality is enforced
+    # post-refine via the z_now/z_past > 0 checks.)
+    dn = [state.R[:, 0, i][:, None, None] * x_now
+          + state.R[:, 1, i][:, None, None] * y_now
+          + state.R[:, 2, i][:, None, None] for i in range(3)]  # [C,1,N]
+    dp = [Rp[:, :, 0, i][:, :, None] * x_past
+          + Rp[:, :, 1, i][:, :, None] * y_past
+          + Rp[:, :, 2, i][:, :, None] for i in range(3)]       # [C,Ts,N]
+    num = dn[0] * dp[0] + dn[1] * dp[1] + dn[2] * dp[2]
+    den2 = (dn[0] * dn[0] + dn[1] * dn[1] + dn[2] * dn[2]) * \
+        (dp[0] * dp[0] + dp[1] * dp[1] + dp[2] * dp[2])
+    pcos = num * jax.lax.rsqrt(jnp.maximum(den2, 1e-18))
     max_cos = jnp.cos(jnp.deg2rad(p.new_point_min_parallax_deg))
     gate2 = p.reproj_new_point_gate ** 2
-    good = hist_ok & (s_now > 1e-3) & (s_past > 1e-3) & \
-        (jnp.abs(pcos) < max_cos) & (e2_now < gate2) & (e2_past < gate2)
+    good = hist_ok & (jnp.abs(pcos) < max_cos)
     # widest parallax (smallest |cos|) among good views
     score = jnp.where(good, -jnp.abs(pcos), -jnp.inf)
     best_k = jnp.argmax(score, axis=1)                             # [C,N]
     any_good = jnp.any(good, axis=1)
     takeT = lambda A: jnp.take_along_axis(A, best_k[:, None, :], axis=1)[:, 0]
-    Xb = [takeT(Xl[i]) for i in range(3)]                          # 3 x [C,N]
-    dt = Xb[0].dtype
+    dt = x_now.dtype
     Rb9 = [[takeT(jnp.broadcast_to(Rp[:, :, i, j][:, :, None], (C, Ts, N)))
             for j in range(3)] for i in range(3)]                  # [C,N] each
     tb3 = [takeT(jnp.broadcast_to(tp[:, :, i][:, :, None], (C, Ts, N)))

@@ -25,7 +25,7 @@ K1 = np.array([[180.0, 0, 100], [0, 180.0, 75], [0, 0, 1]], dtype=np.float32)
 def occlusion_run():
     rng = np.random.default_rng(0)
     planes = make_room(rng, size=10.0)
-    C, F = 2, 90
+    C, F = 2, 110
     f0, f1 = 25, 43                      # camera 1 covered
     Rr, tr = orbit_trajectory(F, forward=0.06)
     rot_c, offs_c = multi_cam_rig(C, baseline=1.0)
@@ -73,7 +73,8 @@ def test_recovered_camera_tracks_again(occlusion_run):
     assert groups[-1][0] == groups[-1][1]      # rejoined at the end
     realigns = [m for m in eng.merge_log
                 if not m.get("noop") and not m.get("reunify")]
-    start = realigns[0]["frame"] + 10
+    F = Rs_gt.shape[1]
+    start = min(realigns[0]["frame"] + 10, F - 15)
     for c in range(2):
         Rs, ts = eng.trajectory(c, True)
         ate = ate_rmse(Rs[start:], ts[start:],
